@@ -1,0 +1,146 @@
+"""QueryEngine: device-resident index + chunked query execution.
+
+Hosts the bit-slice matrix in device HBM once and streams fixed-shape
+(jit-cache-friendly) k-mer batches through the fused gather/AND/count
+kernels. All string work and XXH3 hashing happen host-side; only dense
+integer tensors cross the host→device boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hashing.xxh3 import bloom_rows_batch
+from .index.bigsi import BigsiIndex
+from .ops.query import PAD_POS, query_batch, query_readid_batch
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass
+class SearchResult:
+    counts: np.ndarray  # int64 [C] per-color hit counts
+    uniq_color: np.ndarray  # int32 [N] unique-hit color per k-mer or -1
+    all_valid: bool  # every query k-mer had all rows present
+    and_all: np.ndarray  # uint32 [W] global AND over k-mers
+
+
+class QueryEngine:
+    """Executes the BIGSI hot loop on one device."""
+
+    def __init__(self, index: BigsiIndex, chunk: int = 1 << 17):
+        self.index = index
+        self.chunk = chunk
+        self.matrix = jnp.asarray(np.asarray(index.matrix), dtype=jnp.uint32)
+        if index.bloom_size >= 2**31:
+            raise ValueError("bloom_size >= 2^31 unsupported (int32 rows)")
+
+    # -- hashing ------------------------------------------------------------
+
+    def rows_for_keys(self, keys: np.ndarray) -> np.ndarray:
+        """XXH3 row indices [N, H] for canonical k-mer byte rows [N, k]."""
+        return bloom_rows_batch(
+            keys, self.index.num_hash, self.index.bloom_size
+        ).astype(np.int32)
+
+    # -- search (batch_search_pe / perfect_search hot loop) ------------------
+
+    def search_keys(self, keys: np.ndarray) -> SearchResult:
+        """Per-color counts + unique-hit colors for a set of k-mers."""
+        n = keys.shape[0]
+        C = self.index.n_colors
+        W = self.index.words_per_row
+        counts = np.zeros(C, dtype=np.int64)
+        uniq_color = np.empty(n, dtype=np.int32)
+        and_all = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
+        all_valid = True
+        if n == 0:
+            return SearchResult(counts, uniq_color, True, and_all)
+        rows_all = self.rows_for_keys(keys)
+        for start in range(0, n, self.chunk):
+            stop = min(start + self.chunk, n)
+            m = stop - start
+            size = self.chunk if n > self.chunk else _round_up(m, 1024)
+            rows = np.zeros((size, self.index.num_hash), dtype=np.int32)
+            rows[:m] = rows_all[start:stop]
+            mask = np.zeros(size, dtype=bool)
+            mask[:m] = True
+            c, u, _v, aa, av = query_batch(
+                self.matrix, jnp.asarray(rows), jnp.asarray(mask)
+            )
+            counts += np.asarray(c[:C], dtype=np.int64)
+            uniq_color[start:stop] = np.asarray(u[:m])
+            and_all &= np.asarray(aa)
+            all_valid = bool(av) and all_valid
+        return SearchResult(counts, uniq_color, all_valid, and_all)
+
+    # -- read classifier (read_id hot loop) ----------------------------------
+
+    def readid_counts(
+        self,
+        keys_per_read: list[np.ndarray],
+        start_sample: int,
+    ) -> np.ndarray:
+        """Per-read per-color hit counts [B, C+1] (column C = no_hits),
+        replicating search_index(_classic) semantics including the
+        break-on-absent quirk and the -B candidate-set two-phase count."""
+        C = self.index.n_colors
+        n_reads = len(keys_per_read)
+        if n_reads == 0:
+            return np.zeros((0, C + 1), dtype=np.int32)
+        out = np.zeros((n_reads, C + 1), dtype=np.int32)
+        # chunk reads so one launch stays within a bounded k-mer budget
+        READS = 2048
+        for r0 in range(0, n_reads, READS):
+            r1 = min(r0 + READS, n_reads)
+            out[r0:r1] = self._readid_chunk(
+                keys_per_read[r0:r1], start_sample, READS
+            )[: r1 - r0]
+        return out
+
+    def _readid_chunk(
+        self,
+        keys_per_read: list[np.ndarray],
+        start_sample: int,
+        reads_pad: int,
+    ) -> np.ndarray:
+        C = self.index.n_colors
+        seg_ids = []
+        kmer_pos = []
+        rows_parts = []
+        for i, keys in enumerate(keys_per_read):
+            kn = keys.shape[0]
+            if kn == 0:
+                continue
+            seg_ids.append(np.full(kn, i, dtype=np.int32))
+            kmer_pos.append(np.arange(kn, dtype=np.int32))
+            rows_parts.append(self.rows_for_keys(keys))
+        if not rows_parts:
+            return np.zeros((reads_pad, C + 1), dtype=np.int32)
+        seg = np.concatenate(seg_ids)
+        pos = np.concatenate(kmer_pos)
+        rows = np.concatenate(rows_parts, axis=0)
+        n = rows.shape[0]
+        size = _round_up(n, 65536)
+        rows_p = np.zeros((size, self.index.num_hash), dtype=np.int32)
+        rows_p[:n] = rows
+        seg_p = np.zeros(size, dtype=np.int32)
+        seg_p[:n] = seg
+        pos_p = np.full(size, PAD_POS, dtype=np.int32)
+        pos_p[:n] = pos
+        report = query_readid_batch(
+            self.matrix,
+            jnp.asarray(rows_p),
+            jnp.asarray(seg_p),
+            jnp.asarray(pos_p),
+            num_reads=reads_pad,
+            start_sample=start_sample,
+            num_colors=C,
+        )
+        return np.asarray(report)

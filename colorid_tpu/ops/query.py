@@ -1,0 +1,166 @@
+"""Device query kernels: the gather → AND → per-color count hot loop.
+
+This is the TPU-native replacement for the reference's per-k-mer row fetch +
+BitVec intersect + bit scan (batch_search_pe.rs:45-83, perfect_search.rs:25-46,
+read_id_mt_pe.rs:66-165). The bit-slice matrix lives in device HBM as a dense
+uint32 array [bloom_size, W]; a batch of k-mers arrives as row indices
+[N, num_hash] (host hashes with XXH3, hashing is ~free next to the HBM
+gather). One fused jitted call gathers all rows, ANDs across the hash axis,
+unpacks bits and reduces to per-color counts — thousands of k-mers per
+launch instead of the reference's one-row-at-a-time pointer chase.
+
+Absent-row semantics: the reference stores only rows with >= 1 set bit and
+treats a missing row as "this k-mer cannot be in any color"
+(batch_search_pe.rs:51-57 `continue`). Densely, absent == all-zero, and a
+k-mer is `valid` iff all of its num_hash rows are nonzero.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SHIFTS = tuple(range(32))
+
+
+def _unpack_bits(words: jnp.ndarray) -> jnp.ndarray:
+    """uint32 [..., W] -> int32 bits [..., W*32] (LSB-first, color order)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[..., None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(*words.shape[:-1], words.shape[-1] * 32).astype(jnp.int32)
+
+
+@jax.jit
+def query_batch(matrix: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray):
+    """Score one batch of k-mers against the index.
+
+    Args:
+      matrix: uint32 [R, W] bit-slice matrix (device-resident).
+      rows: int32 [N, H] Bloom-row indices per k-mer.
+      mask: bool [N] real-vs-padding flag (batches are padded to a fixed
+        shape so jit compiles once per chunk size).
+
+    Returns:
+      counts:     int32 [W*32]  per-color hit counts over valid k-mers
+      uniq_color: int32 [N]     color id when the k-mer hit exactly 1 color,
+                                else -1 (feeds uniq_freqs coverage stats,
+                                batch_search_pe.rs:75-83)
+      valid:      bool  [N]     all num_hash rows present (nonzero), real
+      and_all:    uint32 [W]    AND of and-words over all valid k-mers
+                                (perfect-search global intersection)
+      all_valid:  bool  []      every real k-mer had all rows present
+    """
+    g = jnp.take(matrix, rows, axis=0)  # [N, H, W]
+    present = (g != 0).any(axis=2).all(axis=1)  # [N]
+    valid = present & mask
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    bits = _unpack_bits(andw)  # [N, C']
+    vbits = bits * valid[:, None].astype(jnp.int32)
+    counts = vbits.sum(axis=0)
+    nhits = vbits.sum(axis=1)
+    coloridx = jnp.argmax(vbits, axis=1).astype(jnp.int32)
+    uniq_color = jnp.where(valid & (nhits == 1), coloridx, -1)
+    # perfect-search global AND: only meaningful when all_valid
+    masked = jnp.where(valid[:, None], andw, jnp.uint32(0xFFFFFFFF))
+    and_all = jax.lax.reduce(
+        masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, dimensions=(0,)
+    )
+    all_valid = (present | ~mask).all()
+    return counts, uniq_color, valid, and_all, all_valid
+
+
+PAD_POS = np.int32(2**30)  # kmer_pos for padding slots: never counted
+
+
+@partial(jax.jit, static_argnames=("num_reads", "start_sample", "num_colors"))
+def query_readid_batch(
+    matrix: jnp.ndarray,
+    rows: jnp.ndarray,
+    seg_ids: jnp.ndarray,
+    kmer_pos: jnp.ndarray,
+    *,
+    num_reads: int,
+    start_sample: int,
+    num_colors: int,
+):
+    """Per-read hit-count matrix for the read classifier (read_id).
+
+    Replicates search_index / search_index_classic (read_id_mt_pe.rs:66-165)
+    over a flattened batch of reads:
+
+    - k-mers of all reads are concatenated; ``seg_ids`` maps each k-mer to
+      its read, ``kmer_pos`` is its insertion-order position within the read.
+    - a k-mer with any absent row makes the read count one ``no_hits``
+      pseudo-color AND stops counting for every later k-mer of that read
+      (the reference `break`s out of the k-mer loop).
+    - with start_sample B > 0, k-mers at positions >= B only count toward
+      colors already hit by the first B k-mers (the candidate set).
+
+    Args:
+      matrix: uint32 [R, W].
+      rows: int32 [N, H] row indices of all k-mers in the batch.
+      seg_ids: int32 [N] read index per k-mer (sorted ascending).
+      kmer_pos: int32 [N] position of the k-mer within its read's set.
+      num_reads: static int, number of reads B_r.
+      start_sample: the -B bitvector_sample parameter (0 = classic).
+      num_colors: real color count C (pseudo-color no_hits uses index C).
+
+    Returns:
+      report: int32 [B_r, C+1] per-read per-color counts; column C is the
+        no_hits pseudo-color.
+    """
+    n_reads = num_reads
+    g = jnp.take(matrix, rows, axis=0)  # [N, H, W]
+    present = (g != 0).any(axis=2)  # [N, H]
+    valid = present.all(axis=1)
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    bits = _unpack_bits(andw)[:, :num_colors]  # [N, C]
+
+    # first absent k-mer position per read (or +inf)
+    BIG = jnp.int32(2**30)
+    absent_pos = jnp.where(valid, BIG, kmer_pos)
+    first_absent = (
+        jnp.full((n_reads,), BIG, dtype=jnp.int32)
+        .at[seg_ids]
+        .min(absent_pos)
+    )
+    fa = first_absent[seg_ids]
+    counted = valid & (kmer_pos < fa)  # strictly before the break point
+    had_absent = first_absent < BIG  # read counts one no_hits
+
+    cbits = bits * counted[:, None].astype(jnp.int32)
+    if start_sample > 0:
+        phase1 = cbits * (kmer_pos < start_sample)[:, None].astype(jnp.int32)
+        cand = (
+            jnp.zeros((n_reads, num_colors), dtype=jnp.int32)
+            .at[seg_ids]
+            .max(phase1)
+        )  # candidate set: colors hit in first B k-mers
+        phase2 = cbits * (kmer_pos >= start_sample)[:, None].astype(jnp.int32)
+        contrib = phase1 + phase2 * cand[seg_ids]
+    else:
+        contrib = cbits
+    report = (
+        jnp.zeros((n_reads, num_colors), dtype=jnp.int32)
+        .at[seg_ids]
+        .add(contrib)
+    )
+    no_hits = had_absent.astype(jnp.int32)[:, None]
+    return jnp.concatenate([report, no_hits], axis=1)
+
+
+def pad_rows(rows: np.ndarray, n_pad: int) -> np.ndarray:
+    """Pad a row-index batch to a fixed shape with index 0 (harmless: padding
+    is excluded via seg_ids/valid masks by callers)."""
+    if rows.shape[0] == n_pad:
+        return rows
+    out = np.zeros((n_pad, rows.shape[1]), dtype=rows.dtype)
+    out[: rows.shape[0]] = rows
+    return out

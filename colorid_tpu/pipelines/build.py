@@ -1,0 +1,136 @@
+"""Index construction pipeline (reference: build.rs).
+
+Per accession: count canonical k-mers (or minimizers) from its sequence
+files, frequency-filter (auto-cutoff for fastq when cutoff == -1; fasta is
+unfiltered at -1, build.rs:86-91/202-207), hash every surviving k-mer
+num_hash times, and set the corresponding Bloom rows in that accession's
+color column of the dense bit-slice matrix. Colors are assigned by sorted
+accession name (build.rs:221-230).
+
+The reference's transpose step (build.rs:233-244: for every Bloom row, scan
+all accession filters) disappears: the dense matrix IS the transposed
+layout, built by a column-wise scatter-OR.
+
+Input-type dispatch mirrors build.rs:54-99:
+  two paths          -> paired fastq.gz (qual-masked, skip_n, raw case)
+  one path *gz       -> single fastq.gz (qual-masked, skip_n, raw case)
+  one path otherwise -> fasta (skip_n, uppercased)
+Minimizer indexes use the build_multi_mini semantics (minimizer counting
+before filtering; fasta minimizers uppercased, fastq minimizers raw —
+kmer.rs:346 vs :746).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.cutoff import auto_cutoff, clean_counts
+from ..core.fastx import read_fasta, stream_fastq, stream_fastq_pe
+from ..core.kmers import count_kmers
+from ..core.dna import to_bytes
+from ..hashing.xxh3 import bloom_rows_batch
+from ..index.bigsi import BigsiIndex
+
+
+def tab_to_map(path: str) -> dict[str, list[str]]:
+    """Manifest parser (build.rs:15-31): name<TAB>file[<TAB>file2]."""
+    out: dict[str, list[str]] = {}
+    with open(path) as f:
+        for line in f:
+            l = line.rstrip("\n").rstrip("\r")
+            if not l:
+                continue
+            v = l.split("\t")
+            if len(v) < 2:
+                raise ValueError(f"manifest line has no file column: {l!r}")
+            if len(v) == 2:
+                out[v[0]] = [v[1]]
+            else:
+                out[v[0]] = [v[1], v[2]]
+    return out
+
+
+def accession_kmers(
+    paths: list[str],
+    k: int,
+    quality: int,
+    cutoff: int,
+    m_size: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Counted + filtered k-mers (or minimizers) for one accession.
+
+    Returns (keys [U, width], counts [U]) lexicographically sorted.
+    """
+    if len(paths) == 2:
+        seqs = (
+            s
+            for _id, s1, s2 in stream_fastq_pe(paths[0], paths[1], quality)
+            for s in (s1, s2)
+        )
+        keys, counts = count_kmers(
+            seqs, k, skip_n=True, uppercase=False,
+            minimizer=m_size, uppercase_minimizer=False,
+        )
+        is_fasta = False
+    elif paths[0].endswith("gz"):
+        seqs = (s for _id, s in stream_fastq(paths[0], quality))
+        keys, counts = count_kmers(
+            seqs, k, skip_n=True, uppercase=False,
+            minimizer=m_size, uppercase_minimizer=False,
+        )
+        is_fasta = False
+    else:
+        seqs = (to_bytes(s) for s in read_fasta(paths[0]))
+        keys, counts = count_kmers(
+            seqs, k, skip_n=True, uppercase=True,
+            minimizer=m_size, uppercase_minimizer=True,
+        )
+        is_fasta = True
+    if cutoff == -1:
+        if is_fasta:
+            return keys, counts  # fasta at -1 is unfiltered (build.rs:86-88)
+        t = auto_cutoff(counts)
+        return clean_counts(keys, counts, t)
+    return clean_counts(keys, counts, cutoff)
+
+
+def build_index(
+    ref_map: dict[str, list[str]],
+    bloom_size: int,
+    num_hash: int,
+    k_size: int,
+    m_size: int = 0,
+    quality: int = 15,
+    cutoff: int = -1,
+    verbose: bool = True,
+) -> BigsiIndex:
+    """Build the dense bit-slice index (build.rs:132-256 semantics)."""
+    accessions = sorted(ref_map.keys())
+    C = len(accessions)
+    W = (C + 31) // 32
+    matrix = np.zeros((bloom_size, W), dtype=np.uint32)
+    n_ref_kmers: dict[str, int] = {}
+    for i, acc in enumerate(accessions):
+        if verbose:
+            print(f"Adding {acc} to index ({i + 1}/{C})", file=sys.stderr)
+        keys, _counts = accession_kmers(
+            ref_map[acc], k_size, quality, cutoff, m_size
+        )
+        n_ref_kmers[acc] = keys.shape[0]
+        if keys.shape[0] == 0:
+            continue
+        rows = bloom_rows_batch(keys, num_hash, bloom_size)
+        bloom = np.zeros(bloom_size, dtype=bool)
+        bloom[rows.ravel()] = True
+        matrix[:, i // 32] |= bloom.astype(np.uint32) << np.uint32(i % 32)
+    return BigsiIndex(
+        bloom_size=bloom_size,
+        num_hash=num_hash,
+        k_size=k_size,
+        m_size=m_size,
+        colors=accessions,
+        n_ref_kmers=n_ref_kmers,
+        matrix=matrix,
+    )

@@ -1,0 +1,77 @@
+"""Report generation (reference: reports.rs).
+
+Output lines and thresholds replicate the reference byte-for-byte; the only
+deliberate deviation is determinism: the reference iterates HashMaps
+(arbitrary order) while we emit rows in color order and break mode() ties
+toward the smallest value (the reference's max_by_key tie-break is
+unspecified).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def mode(numbers: list[float]) -> int:
+    """reports.rs:65-77: mode of freqs cast to usize; ties -> smallest."""
+    occ = Counter(int(v) for v in numbers)
+    best = max(occ.values())
+    return min(v for v, c in occ.items() if c == best)
+
+
+def generate_report(
+    query: str,
+    report: dict[str, int],
+    uniq_freqs: dict[str, list[float]],
+    n_ref_kmers: dict[str, int],
+    num_kmers: int,
+    cov: float,
+) -> list[str]:
+    """reports.rs:8-48: TSV `query n_kmers hit shared mean_cov mode n_uniq`,
+    emitted when shared fraction (hits / n_ref_kmers[hit]) > cov."""
+    lines = []
+    for k, v in report.items():
+        freqs = uniq_freqs.get(k)
+        if freqs:
+            mean = sum(freqs) / len(freqs)
+            modus = mode(freqs)
+            specific = len(freqs)
+        else:
+            mean, modus, specific = 0.0, 0, 0
+        n = n_ref_kmers.get(k)
+        if n is None:
+            continue
+        genome_cov = v / n
+        if genome_cov > cov:
+            lines.append(
+                f"{query}\t{num_kmers}\t{k}\t{genome_cov:.2f}\t{mean:.2f}\t{modus}\t{specific}"
+            )
+    return lines
+
+
+def generate_report_gene(
+    query: str, report: dict[str, int], gene_kmer_size: int, cov: float
+) -> list[str]:
+    """reports.rs:50-62: `query hit n_kmers frac` when frac >= cov."""
+    lines = []
+    for k, v in report.items():
+        gene_match = v / gene_kmer_size
+        if gene_match >= cov:
+            lines.append(f"{query}\t{k}\t{gene_kmer_size}\t{gene_match:.3f}")
+    return lines
+
+
+def read_counts_five_fields(reads_path: str, prefix: str) -> None:
+    """reports.rs:98-120: aggregate `<prefix>_reads.txt` into
+    `<prefix>_counts.txt`; non-accept rows land in the 'reject' bucket."""
+    counts: Counter[str] = Counter()
+    with open(reads_path) as f:
+        for line in f:
+            v = line.rstrip("\n").split("\t")
+            if v[4] == "accept":
+                counts[v[1]] += 1
+            else:
+                counts["reject"] += 1
+    with open(f"{prefix}_counts.txt", "w") as out:
+        for key in sorted(counts):
+            out.write(f"{key}\t{counts[key]}\n")

@@ -1,0 +1,154 @@
+"""Search pipelines (reference: perfect_search.rs, batch_search_pe.rs).
+
+All scoring runs through the device QueryEngine; this layer does input
+counting/filtering, assembles the per-color report + unique-k-mer coverage
+stats from the kernel outputs, and formats reference-identical TSV.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.cutoff import auto_cutoff, clean_counts
+from ..core.dna import to_bytes, to_str
+from ..core.fastx import read_fasta, read_fasta_mf, stream_fastq, stream_fastq_pe
+from ..core.kmers import canonical_windows, count_kmers, unique_rows
+from ..engine import QueryEngine
+from .reports import generate_report, generate_report_gene
+
+
+def _count_query_kmers(
+    file1: str,
+    file2: str | None,
+    k: int,
+    qual_offset: int,
+    filter_t: int,
+    gene_search: bool,
+):
+    """Query k-mer counting + filtering (batch_search_pe.rs:24-39,106-120)."""
+    if file1.endswith("gz"):
+        if file2 is None:
+            print(file1, file=sys.stderr)
+            print("Counting k-mers, this may take a while!", file=sys.stderr)
+            seqs = (s for _id, s in stream_fastq(file1, qual_offset))
+        else:
+            print(f"Paired end: {file1} {file2}", file=sys.stderr)
+            print("Counting k-mers, this may take a while!", file=sys.stderr)
+            seqs = (
+                s
+                for _id, s1, s2 in stream_fastq_pe(file1, file2, qual_offset)
+                for s in (s1, s2)
+            )
+        keys, counts = count_kmers(seqs, k, skip_n=True, uppercase=False)
+        if filter_t < 0:
+            t = auto_cutoff(counts)
+            return clean_counts(keys, counts, t)
+        return clean_counts(keys, counts, filter_t)
+    print(file1, file=sys.stderr)
+    print("Counting k-mers, this may take a while!", file=sys.stderr)
+    seqs = (to_bytes(s) for s in read_fasta(file1))
+    keys, counts = count_kmers(seqs, k, skip_n=True, uppercase=True)
+    if gene_search:
+        return clean_counts(keys, counts, 0)
+    if filter_t < 0:
+        print("no gene search", file=sys.stderr)
+        t = auto_cutoff(counts)
+        return clean_counts(keys, counts, t)
+    return clean_counts(keys, counts, filter_t)
+
+
+def batch_search(
+    files1: list[str],
+    files2: list[str],
+    engine: QueryEngine,
+    filter_t: int = -1,
+    cov: float = 0.35,
+    gene_search: bool = False,
+    qual_offset: int = 15,
+) -> list[str]:
+    """Inexact search (batch_search_pe.rs:9-179). Returns stdout TSV lines."""
+    index = engine.index
+    out_lines: list[str] = []
+    for i, file1 in enumerate(files1):
+        file2 = files2[i] if files2 else None
+        keys, qcounts = _count_query_kmers(
+            file1, file2, index.k_size, qual_offset, filter_t, gene_search
+        )
+        num_kmers = keys.shape[0]
+        print(f"{num_kmers} k-mers in query", file=sys.stderr)
+        res = engine.search_keys(keys)
+        report = {
+            index.colors[c]: int(res.counts[c])
+            for c in range(index.n_colors)
+            if res.counts[c] > 0
+        }
+        uniq_freqs: dict[str, list[float]] = {}
+        sel = res.uniq_color >= 0
+        for c, q in zip(res.uniq_color[sel], qcounts[sel]):
+            uniq_freqs.setdefault(index.colors[int(c)], []).append(float(q))
+        if not gene_search:
+            out_lines += generate_report(
+                file1, report, uniq_freqs, index.n_ref_kmers, num_kmers, cov
+            )
+        else:
+            out_lines += generate_report_gene(file1, report, num_kmers, cov)
+    return out_lines
+
+
+def _perfect_one(
+    label: str, keys: np.ndarray, engine: QueryEngine, out: list[str]
+) -> None:
+    index = engine.index
+    n = keys.shape[0]
+    print(f"{n} kmers in query", file=sys.stderr)
+    res = engine.search_keys(keys)
+    if not res.all_valid:
+        print("No perfect hits!", file=sys.stderr)
+        return
+    bits = np.unpackbits(
+        res.and_all.view(np.uint8), bitorder="little"
+    )[: index.n_colors]
+    hits = np.nonzero(bits)[0]
+    print(f"{len(hits)} hits", file=sys.stderr)
+    for c in hits:
+        out.append(f"{label}\t{index.colors[int(c)]}\t{n}\t1.00")
+
+
+def perfect_search(
+    files: list[str], engine: QueryEngine, multi_fasta: bool = False
+) -> list[str]:
+    """Perfect-match search (perfect_search.rs:6-120)."""
+    index = engine.index
+    out: list[str] = []
+    for file in files:
+        if not multi_fasta:
+            print("Counting k-mers, this may take a while!", file=sys.stderr)
+            seqs = [to_bytes(s) for s in read_fasta(file)]
+            keys, _ = count_kmers(seqs, index.k_size, skip_n=True, uppercase=True)
+            if keys.shape[0] == 0:
+                print(
+                    "Warning! no kmers in query; maybe your kmer length is "
+                    "larger than your query length?",
+                    file=sys.stderr,
+                )
+                continue
+            _perfect_one(file, keys, engine, out)
+        else:
+            labels, seqs = read_fasta_mf(file)
+            for j, label in enumerate(labels):
+                seq = to_bytes(seqs[j])
+                if len(seq) < index.k_size:
+                    out.append(
+                        f"Warning! no kmers in query '{label}'; maybe your "
+                        "kmer length is larger than your query length?"
+                    )
+                    continue
+                # kmerize_string: skip_n OFF, uppercase ON (kmer.rs:271-299)
+                w = canonical_windows(
+                    seq, index.k_size, skip_n=False, uppercase=True
+                )
+                keys, _ = unique_rows(w)
+                _perfect_one(label, keys, engine, out)
+    return out
