@@ -1,0 +1,221 @@
+"""Per-read classification pipeline (reference: read_id_mt_pe.rs).
+
+Semantics replicated:
+- a read whose first mate is shorter than k is "too_short"/accept
+  (read_id_mt_pe.rs:305-313); other mates are still k-merized when long
+  enough (shorter ones are skipped — the reference would panic).
+- per-read canonical k-mer SET (first-occurrence order stands in for the
+  reference's FnvHashSet iteration order — the one deliberate deviation,
+  since hash-set order is an implementation artifact).
+- a k-mer with an absent Bloom row adds one `no_hits` pseudo-count and stops
+  counting for the read's remaining k-mers (the `break` at
+  read_id_mt_pe.rs:88-89/127-128/150-151).
+- bitvector_sample B > 0: k-mers after the first B only count toward colors
+  hit within the first B (search_index, read_id_mt_pe.rs:104-165).
+- FP-aware majority poll (kmer_poll_plus, read_id_mt_pe.rs:187-251) with the
+  binomial significance filter (not_fp_signicant, :168-181).
+
+The per-read counting runs on device as one flattened segment-reduce batch
+(ops/query.py::query_readid_batch); this layer only formats decisions.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Iterable, Iterator
+
+import numpy as np
+
+from ..core.dna import to_bytes
+from ..core.fastx import stream_fasta_records, stream_fastq, stream_fastq_pe
+from ..core.kmers import kmer_set
+from ..core.stats import false_prob, not_fp_significant_mask
+from ..engine import QueryEngine
+from .reports import read_counts_five_fields
+
+Classification = tuple[str, str, int, int, str, int]
+
+
+def classify_batch(
+    batch: list[tuple[str, list[np.ndarray]]],
+    engine: QueryEngine,
+    d: int,
+    fp_correct: float,
+    start_sample: int,
+) -> list[Classification]:
+    """Classify one batch of reads; returns 6-field rows for _reads.txt."""
+    index = engine.index
+    C = index.n_colors
+    k = index.k_size
+    m = index.m_size
+    colors = index.colors
+    p_false = np.array(
+        [
+            false_prob(
+                float(index.bloom_size),
+                float(index.num_hash),
+                float(index.n_ref_kmers.get(colors[c], 0)),
+            )
+            for c in range(C)
+        ]
+    )
+    out: list[Classification] = [None] * len(batch)  # type: ignore
+    todo_idx: list[int] = []
+    keys_list: list[np.ndarray] = []
+    map_lens: list[int] = []
+    for i, (rid, seqs) in enumerate(batch):
+        if len(seqs[0]) < k:
+            out[i] = (rid, "too_short", 0, 0, "accept", 0)
+            continue
+        keys = kmer_set(seqs, k, d=d, minimizer=m)
+        todo_idx.append(i)
+        keys_list.append(keys)
+        map_lens.append(keys.shape[0])
+    if not todo_idx:
+        return out
+    report = engine.readid_counts(keys_list, start_sample)  # [B, C+1]
+    real = report[:, :C].astype(np.int64)
+    noh = report[:, C].astype(np.int64)
+    mlen = np.asarray(map_lens, dtype=np.int64)
+
+    empty = (real.sum(axis=1) + noh) == 0  # report.is_empty()
+    only_no_hits = (noh > 0) & (real.max(axis=1, initial=0) == 0)
+    sig = (real > 0) & ~not_fp_significant_mask(
+        mlen[:, None], p_false[None, :], real, fp_correct
+    )
+    any_sig = sig.any(axis=1)
+    top_count = np.where(sig, real, -1).max(axis=1)
+    is_top = sig & (real == top_count[:, None])
+    n_top = is_top.sum(axis=1)
+
+    for j, i in enumerate(todo_idx):
+        rid = batch[i][0]
+        L = int(mlen[j])
+        if empty[j] or only_no_hits[j]:
+            out[i] = (rid, "no_hits", 0, L, "accept", 0)
+        elif not any_sig[j]:
+            out[i] = (rid, "no_significant_hits", 0, L, "reject", 0)
+        else:
+            tops = np.nonzero(is_top[j])[0]
+            if len(tops) == 1:
+                out[i] = (rid, colors[int(tops[0])], int(top_count[j]), L, "accept", 1)
+            else:
+                name = ",".join(colors[int(c)] for c in tops)
+                out[i] = (rid, name, int(top_count[j]), L, "reject", len(tops))
+    return out
+
+
+def _run_stream(
+    reads: Iterator[tuple[str, list[np.ndarray]]],
+    engine: QueryEngine,
+    d: int,
+    fp_correct: float,
+    start_sample: int,
+    b: int,
+    prefix: str,
+    what: str,
+) -> int:
+    t0 = time.time()
+    read_count = 0
+    batch: list[tuple[str, list[np.ndarray]]] = []
+    with open(f"{prefix}_reads.txt", "w") as f:
+
+        def flush() -> None:
+            nonlocal read_count
+            c = classify_batch(batch, engine, d, fp_correct, start_sample)
+            read_count += len(c)
+            print(f"{read_count} {what} classified\r", end="", file=sys.stderr)
+            for row in c:
+                f.write("\t".join(str(x) for x in row) + "\n")
+            batch.clear()
+
+        for item in reads:
+            batch.append(item)
+            if len(batch) >= b:
+                flush()
+        flush()
+    print(
+        f"Classified {read_count} {what} in {int(time.time() - t0)} seconds",
+        file=sys.stderr,
+    )
+    return read_count
+
+
+def per_read_stream_pe(
+    files: list[str],
+    engine: QueryEngine,
+    d: int,
+    fp_correct: float,
+    b: int,
+    prefix: str,
+    qual_offset: int,
+    start_sample: int,
+) -> int:
+    reads = (
+        (rid, [s1, s2])
+        for rid, s1, s2 in stream_fastq_pe(files[0], files[1], qual_offset)
+    )
+    return _run_stream(
+        reads, engine, d, fp_correct, start_sample, b, prefix, "read pairs"
+    )
+
+
+def per_read_stream_se(
+    files: list[str],
+    engine: QueryEngine,
+    d: int,
+    fp_correct: float,
+    b: int,
+    prefix: str,
+    qual_offset: int,
+    start_sample: int,
+) -> int:
+    reads = ((rid, [s]) for rid, s in stream_fastq(files[0], qual_offset))
+    return _run_stream(
+        reads, engine, d, fp_correct, start_sample, b, prefix, "reads"
+    )
+
+
+def stream_fasta(
+    files: list[str],
+    engine: QueryEngine,
+    d: int,
+    fp_correct: float,
+    b: int,
+    prefix: str,
+    start_sample: int,
+) -> int:
+    """read_id on fasta input; sequences keep embedded newlines (reference
+    quirk — k-mers never span fasta lines on this path)."""
+    reads = (
+        (rid, [to_bytes(seq)]) for rid, seq in stream_fasta_records(files[0])
+    )
+    return _run_stream(
+        reads, engine, d, fp_correct, start_sample, b, prefix, "reads"
+    )
+
+
+def read_id(
+    files: list[str],
+    engine: QueryEngine,
+    prefix: str,
+    d: int = 1,
+    fp_correct: float = 1e-3,
+    b: int = 50000,
+    qual_offset: int = 15,
+    start_sample: int = 3,
+) -> None:
+    """Full read_id subcommand: classify + counts report (main.rs:704-868)."""
+    if files[0].endswith(".gz"):
+        if len(files) > 1:
+            per_read_stream_pe(
+                files, engine, d, fp_correct, b, prefix, qual_offset, start_sample
+            )
+        else:
+            per_read_stream_se(
+                files, engine, d, fp_correct, b, prefix, qual_offset, start_sample
+            )
+    else:
+        stream_fasta(files, engine, d, fp_correct, b, prefix, start_sample)
+    read_counts_five_fields(f"{prefix}_reads.txt", prefix)

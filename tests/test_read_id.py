@@ -1,0 +1,172 @@
+"""Read classifier vs an independent per-read oracle implementing
+search_index(_classic) + kmer_poll_plus literally (with the same
+first-occurrence k-mer order the engine uses)."""
+
+import math
+
+import numpy as np
+import pytest
+
+xxhash = pytest.importorskip("xxhash")
+
+from colorid_tpu.core.fastx import read_fasta
+from colorid_tpu.core.dna import to_bytes
+from colorid_tpu.engine import QueryEngine
+from colorid_tpu.pipelines.build import build_index
+from colorid_tpu.pipelines.read_id import classify_batch
+from tests import oracle
+
+REFS = "/root/reference/test_data/refs"
+BLOOM = 150_000
+K = 21
+H = 3
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ref_map = {
+        "B021": [f"{REFS}/Listeria_phage_B021.fasta"],
+        "B056": [f"{REFS}/Listeria_phage_B056.fasta"],
+        "B545": [f"{REFS}/Listeria_phage_B545.fasta"],
+    }
+    index = build_index(ref_map, BLOOM, H, K, verbose=False)
+    return index, QueryEngine(index)
+
+
+def false_prob(m, k, n):
+    return (1.0 - math.exp(-(k * (n + 0.5)) / (m - 1.0))) ** k
+
+
+def binom_pmf(n, k, p):
+    return math.comb(n, k) * (p**k) * ((1 - p) ** (n - k))
+
+
+def oracle_classify(rid, seqs, index, d, fp_correct, B):
+    k, m = index.k_size, index.m_size
+    C = index.n_colors
+    matrix = np.asarray(index.matrix)
+    if len(seqs[0]) < k:
+        return (rid, "too_short", 0, 0, "accept", 0)
+    # first-occurrence canonical k-mer set
+    kmers = []
+    seen = set()
+    for s in seqs:
+        if len(s) < k:
+            continue
+        L = len(s)
+        lr = oracle.revcomp(s)
+        for i in range(0, L - k + 1, d):
+            f = s[i : i + k]
+            if not oracle.has_no_n(f):
+                continue
+            r = lr[L - (i + k) : L - i]
+            w = f if f < r else r
+            if m:
+                w = oracle.find_minimizer(w, m).upper()
+            if w not in seen:
+                seen.add(w)
+                kmers.append(w)
+    report = {}
+    no_hits = C
+    cand = set()
+    for pos, km in enumerate(kmers):
+        rows = [
+            xxhash.xxh3_64_intdigest(km.encode(), s) % index.bloom_size
+            for s in range(index.num_hash)
+        ]
+        words = [matrix[r] for r in rows]
+        if any(not w.any() for w in words):
+            report[no_hits] = report.get(no_hits, 0) + 1
+            break
+        a = words[0].copy()
+        for w in words[1:]:
+            a &= w
+        hits = [
+            c for c in range(C) if (int(a[c // 32]) >> (c % 32)) & 1
+        ]
+        if B == 0 or pos < B:
+            for c in hits:
+                report[c] = report.get(c, 0) + 1
+                if B > 0:
+                    cand.add(c)
+        else:
+            for c in cand:
+                if (int(a[c // 32]) >> (c % 32)) & 1:
+                    report[c] = report.get(c, 0) + 1
+    # kmer_poll_plus
+    if not report:
+        return (rid, "no_hits", 0, len(kmers), "accept", 0)
+    if set(report) == {no_hits}:
+        return (rid, "no_hits", 0, len(kmers), "accept", 0)
+    n = len(kmers)
+    sig = []
+    for c, cnt in sorted(report.items(), key=lambda t: (-t[1], t[0])):
+        if c == no_hits:
+            continue
+        p = false_prob(index.bloom_size, index.num_hash, index.n_ref_kmers[index.colors[c]])
+        crit = n * p
+        mpf = binom_pmf(n, cnt, p)
+        insig = (cnt < crit) or ((cnt > crit) and (mpf >= fp_correct))
+        if not insig:
+            sig.append((c, cnt))
+    if not sig:
+        return (rid, "no_significant_hits", 0, n, "reject", 0)
+    top = sig[0][1]
+    tops = [c for c, cnt in sig if cnt == top]
+    if len(tops) == 1:
+        return (rid, index.colors[tops[0]], top, n, "accept", 1)
+    return (rid, ",".join(index.colors[c] for c in tops), top, n, "reject", len(tops))
+
+
+def _mutate(rng, s, rate):
+    out = list(s)
+    for i in range(len(out)):
+        if rng.random() < rate:
+            out[i] = "ACGTN"[rng.integers(0, 5)]
+    return "".join(out)
+
+
+@pytest.mark.parametrize("B", [0, 3])
+@pytest.mark.parametrize("d", [1, 10])
+def test_classifier_matches_oracle(setup, B, d):
+    index, engine = setup
+    rng = np.random.default_rng(42)
+    genomes = {
+        acc: read_fasta(f"{REFS}/Listeria_phage_{acc}.fasta")[0]
+        for acc in ["B021", "B056", "B545"]
+    }
+    batch = []
+    for i in range(60):
+        acc = ["B021", "B056", "B545"][i % 3]
+        g = genomes[acc]
+        start = rng.integers(0, len(g) - 150)
+        read = _mutate(rng, g[start : start + 150], rate=0.02)
+        batch.append((f"@r{i}", [to_bytes(read)]))
+    # some junk + short reads
+    batch.append(("@short", [to_bytes("ACGT")]))
+    batch.append(
+        ("@junk", [to_bytes("".join("ACGT"[c] for c in rng.integers(0, 4, 150)))])
+    )
+    got = classify_batch(batch, engine, d=d, fp_correct=1e-3, start_sample=B)
+    for rid, seqs in batch:
+        pass
+    want = [
+        oracle_classify(rid, ["".join(chr(b) for b in s) for s in seqs], index, d, 1e-3, B)
+        for rid, seqs in batch
+    ]
+    assert got == want
+
+
+def test_classifier_pe_and_accuracy(setup):
+    index, engine = setup
+    rng = np.random.default_rng(7)
+    g = read_fasta(f"{REFS}/Listeria_phage_B056.fasta")[0]
+    batch = []
+    for i in range(50):
+        start = rng.integers(0, len(g) - 400)
+        r1 = g[start : start + 150]
+        r2 = oracle.revcomp(g[start + 250 : start + 400])
+        batch.append((f"@p{i}", [to_bytes(r1), to_bytes(r2)]))
+    got = classify_batch(batch, engine, d=1, fp_correct=1e-3, start_sample=3)
+    accepted = [r for r in got if r[4] == "accept" and r[1] == "B056"]
+    assert len(accepted) >= 45
