@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import native
 from .hashing.xxh3 import bloom_rows_batch
 from .index.bigsi import BigsiIndex
 from .ops.query import PAD_POS, query_batch, query_readid_batch
@@ -45,6 +46,10 @@ class QueryEngine:
 
     def rows_for_keys(self, keys: np.ndarray) -> np.ndarray:
         """XXH3 row indices [N, H] for canonical k-mer byte rows [N, k]."""
+        if keys.shape[0] and native.available():
+            return native.xxh3_rows(
+                keys, self.index.num_hash, self.index.bloom_size
+            ).astype(np.int32)
         return bloom_rows_batch(
             keys, self.index.num_hash, self.index.bloom_size
         ).astype(np.int32)
@@ -94,23 +99,6 @@ class QueryEngine:
         n_reads = len(keys_per_read)
         if n_reads == 0:
             return np.zeros((0, C + 1), dtype=np.int32)
-        out = np.zeros((n_reads, C + 1), dtype=np.int32)
-        # chunk reads so one launch stays within a bounded k-mer budget
-        READS = 2048
-        for r0 in range(0, n_reads, READS):
-            r1 = min(r0 + READS, n_reads)
-            out[r0:r1] = self._readid_chunk(
-                keys_per_read[r0:r1], start_sample, READS
-            )[: r1 - r0]
-        return out
-
-    def _readid_chunk(
-        self,
-        keys_per_read: list[np.ndarray],
-        start_sample: int,
-        reads_pad: int,
-    ) -> np.ndarray:
-        C = self.index.n_colors
         seg_ids = []
         kmer_pos = []
         rows_parts = []
@@ -122,25 +110,53 @@ class QueryEngine:
             kmer_pos.append(np.arange(kn, dtype=np.int32))
             rows_parts.append(self.rows_for_keys(keys))
         if not rows_parts:
-            return np.zeros((reads_pad, C + 1), dtype=np.int32)
-        seg = np.concatenate(seg_ids)
-        pos = np.concatenate(kmer_pos)
-        rows = np.concatenate(rows_parts, axis=0)
-        n = rows.shape[0]
-        size = _round_up(n, 65536)
-        rows_p = np.zeros((size, self.index.num_hash), dtype=np.int32)
-        rows_p[:n] = rows
-        seg_p = np.zeros(size, dtype=np.int32)
-        seg_p[:n] = seg
-        pos_p = np.full(size, PAD_POS, dtype=np.int32)
-        pos_p[:n] = pos
-        report = query_readid_batch(
-            self.matrix,
-            jnp.asarray(rows_p),
-            jnp.asarray(seg_p),
-            jnp.asarray(pos_p),
-            num_reads=reads_pad,
-            start_sample=start_sample,
-            num_colors=C,
+            return np.zeros((n_reads, C + 1), dtype=np.int32)
+        return self.readid_counts_arrays(
+            np.concatenate(rows_parts, axis=0),
+            np.concatenate(seg_ids),
+            np.concatenate(kmer_pos),
+            n_reads,
+            start_sample,
         )
-        return np.asarray(report)
+
+    def readid_counts_arrays(
+        self,
+        rows: np.ndarray,
+        seg: np.ndarray,
+        pos: np.ndarray,
+        n_reads: int,
+        start_sample: int,
+    ) -> np.ndarray:
+        """Per-read counts from prepared flattened arrays (seg sorted asc).
+
+        Chunks by reads so one device launch stays within a bounded k-mer
+        budget and jit shapes stay cache-friendly."""
+        C = self.index.n_colors
+        out = np.zeros((n_reads, C + 1), dtype=np.int32)
+        READS = 2048
+        rows = rows.astype(np.int32, copy=False)
+        for r0 in range(0, n_reads, READS):
+            r1 = min(r0 + READS, n_reads)
+            lo = np.searchsorted(seg, r0, "left")
+            hi = np.searchsorted(seg, r1, "left")
+            n = hi - lo
+            if n == 0:
+                continue
+            size = _round_up(n, 65536)
+            rows_p = np.zeros((size, self.index.num_hash), dtype=np.int32)
+            rows_p[:n] = rows[lo:hi]
+            seg_p = np.zeros(size, dtype=np.int32)
+            seg_p[:n] = seg[lo:hi] - r0
+            pos_p = np.full(size, PAD_POS, dtype=np.int32)
+            pos_p[:n] = pos[lo:hi]
+            report = query_readid_batch(
+                self.matrix,
+                jnp.asarray(rows_p),
+                jnp.asarray(seg_p),
+                jnp.asarray(pos_p),
+                num_reads=READS,
+                start_sample=start_sample,
+                num_colors=C,
+            )
+            out[r0:r1] = np.asarray(report)[: r1 - r0]
+        return out

@@ -1,0 +1,233 @@
+"""ctypes bindings for the native ingest library (ingest.cpp).
+
+The library is compiled on demand with g++ (no pybind11 in the image; the C
+ABI + ctypes keeps the build trivial). Every entry point has an exact numpy
+fallback — `available()` gates the fast path, and sequences that the 2-bit
+fast path cannot represent (lowercase bases) are re-routed to the numpy path
+by the callers, so results are identical either way.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "ingest.cpp")
+_SO = os.path.join(_HERE, "libcoloridnative.so")
+
+_lib = None
+_lock = threading.Lock()
+_tried = False
+
+
+def _compile() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-funroll-loops", "-shared", "-fPIC",
+        _SRC, "-o", _SO, "-lz",
+    ]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+        if r.returncode != 0:
+            print(f"colorid_tpu native build failed:\n{r.stderr}", file=sys.stderr)
+            return False
+        return True
+    except Exception as e:  # g++ missing etc.
+        print(f"colorid_tpu native build unavailable: {e}", file=sys.stderr)
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _compile():
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.ct_xxh3_64.restype = ctypes.c_uint64
+        lib.ct_xxh3_64.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint64,
+        ]
+        lib.ct_xxh3_rows.restype = None
+        lib.ct_xxh3_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_uint64, ctypes.c_void_p,
+        ]
+        lib.ct_counter_new.restype = ctypes.c_void_p
+        lib.ct_counter_new.argtypes = [ctypes.c_int32]
+        lib.ct_counter_free.argtypes = [ctypes.c_void_p]
+        lib.ct_counter_fallback.restype = ctypes.c_int32
+        lib.ct_counter_fallback.argtypes = [ctypes.c_void_p]
+        lib.ct_counter_add.restype = ctypes.c_int32
+        lib.ct_counter_add.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.ct_counter_unique.restype = ctypes.c_int64
+        lib.ct_counter_unique.argtypes = [ctypes.c_void_p]
+        lib.ct_counter_counts.restype = None
+        lib.ct_counter_counts.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.ct_counter_dump.restype = ctypes.c_int64
+        lib.ct_counter_dump.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.ct_count_fastq.restype = ctypes.c_void_p
+        lib.ct_count_fastq.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.ct_read_sets.restype = ctypes.c_int64
+        lib.ct_read_sets.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_uint64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def xxh3_rows(keys: np.ndarray, num_hash: int, bloom_size: int) -> np.ndarray:
+    """Bloom rows [N, H] uint32 for ASCII key rows [N, k]."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, dtype=np.uint8)
+    n, k = keys.shape
+    out = np.empty((n, num_hash), dtype=np.uint32)
+    lib.ct_xxh3_rows(
+        keys.ctypes.data, n, k, num_hash, bloom_size, out.ctypes.data
+    )
+    return out
+
+
+class NativeCounter:
+    """2-bit canonical k-mer/minimizer counter (k <= 32, uppercase ACGT)."""
+
+    def __init__(self, k: int, m_size: int = 0):
+        lib = _load()
+        if lib is None or k > 32 or (m_size and m_size > 32):
+            raise ValueError("native counter unavailable for these params")
+        self._lib = lib
+        self._h = lib.ct_counter_new(k)
+        self.k = k
+        self.m_size = m_size
+        self.width = m_size if m_size else k
+
+    def add(self, seq: np.ndarray, d: int = 1) -> bool:
+        """Count one sequence; False => lowercase fallback needed."""
+        seq = np.ascontiguousarray(seq, dtype=np.uint8)
+        r = self._lib.ct_counter_add(
+            self._h, seq.ctypes.data, len(seq), d, self.m_size
+        )
+        return r == 0
+
+    @property
+    def fallback(self) -> bool:
+        return bool(self._lib.ct_counter_fallback(self._h))
+
+    def unique(self) -> int:
+        return self._lib.ct_counter_unique(self._h)
+
+    def counts(self) -> np.ndarray:
+        n = self.unique()
+        out = np.empty(n, dtype=np.int64)
+        if n:
+            self._lib.ct_counter_counts(self._h, out.ctypes.data)
+        return out
+
+    def dump(self, t: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Entries with count > t. Returns (keys [U, width], counts [U])."""
+        n = self.unique()
+        keys = np.empty((n, self.width), dtype=np.uint8)
+        counts = np.empty(n, dtype=np.int64)
+        u = self._lib.ct_counter_dump(
+            self._h, t, self.width, keys.ctypes.data, counts.ctypes.data
+        )
+        return keys[:u], counts[:u]
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.ct_counter_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def count_fastq(
+    path1: str, path2: str | None, k: int, qual_offset: int, m_size: int = 0
+) -> NativeCounter | None:
+    """Whole-file (PE) fastq.gz counting in C++. None => use numpy path."""
+    lib = _load()
+    if lib is None or k > 32 or (m_size and m_size > 32):
+        return None
+    h = lib.ct_count_fastq(
+        path1.encode(), (path2 or "").encode(), k, qual_offset, m_size
+    )
+    if not h:
+        return None
+    c = NativeCounter.__new__(NativeCounter)
+    c._lib = lib
+    c._h = h
+    c.k = k
+    c.m_size = m_size
+    c.width = m_size if m_size else k
+    if c.fallback:
+        c.close()
+        return None
+    return c
+
+
+def read_sets(
+    seqs_concat: np.ndarray,
+    seq_offs: np.ndarray,
+    read_seq_counts: np.ndarray,
+    k: int,
+    d: int,
+    m_size: int,
+    num_hash: int,
+    bloom_size: int,
+):
+    """Per-read first-occurrence k-mer sets -> (rows [N,H], seg [N], pos [N],
+    maplen [B]) or None when the native path can't handle the batch."""
+    lib = _load()
+    if lib is None or k > 32 or (m_size and m_size > 32):
+        return None
+    seqs_concat = np.ascontiguousarray(seqs_concat, dtype=np.uint8)
+    seq_offs = np.ascontiguousarray(seq_offs, dtype=np.int64)
+    read_seq_counts = np.ascontiguousarray(read_seq_counts, dtype=np.int32)
+    n_reads = len(read_seq_counts)
+    lens = np.diff(seq_offs)
+    cap = int(np.maximum(0, (lens - k) // d + 1).sum())
+    rows = np.empty((max(cap, 1), num_hash), dtype=np.uint32)
+    seg = np.empty(max(cap, 1), dtype=np.int32)
+    pos = np.empty(max(cap, 1), dtype=np.int32)
+    maplen = np.empty(n_reads, dtype=np.int32)
+    total = lib.ct_read_sets(
+        seqs_concat.ctypes.data, seq_offs.ctypes.data,
+        read_seq_counts.ctypes.data, n_reads, k, d, m_size,
+        num_hash, bloom_size,
+        rows.ctypes.data, seg.ctypes.data, pos.ctypes.data,
+        maplen.ctypes.data, cap,
+    )
+    if total == -2:
+        return None  # lowercase in batch: numpy path
+    if total < 0:
+        raise RuntimeError("ct_read_sets capacity underestimate")
+    return rows[:total], seg[:total], pos[:total], maplen

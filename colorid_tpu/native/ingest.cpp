@@ -1,0 +1,484 @@
+// colorid-tpu native ingest layer.
+//
+// Host-side hot paths in C++ (the reference uses Rust for all of this; the
+// TPU engine keeps the device for the gather/AND/count loop and uses this
+// library to feed it at line rate):
+//   - XXH3-64 seeded hashing (exact, validated vs the xxhash wheel through
+//     the Python tests) -> Bloom row indices
+//   - canonical k-merization via 2-bit rolling windows (A<C<G<T encoding
+//     makes integer order == byte-lexicographic order, so the canonical
+//     choice matches the reference's string compare; sequences containing
+//     lowercase fall back to the exact numpy path, since e.g. 'a' > 'T'
+//     byte-wise cannot be represented in 2 bits)
+//   - k-mer counting (open-addressing u64 table)
+//   - minimizers with the reference's skipped-rc-offset quirk
+//     (kmer.rs:971-986)
+//   - gz fastq streaming + phred masking (zlib)
+//   - per-read first-occurrence k-mer sets for the read classifier
+//
+// Everything is C ABI for ctypes; no pybind11 in the image.
+//
+// Build: g++ -O3 -march=native -shared -fPIC ingest.cpp -o libcoloridnative.so -lz
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <cstdio>
+#include <vector>
+#include <string>
+#include <zlib.h>
+
+// ---------------------------------------------------------------------------
+// XXH3-64 (seeded, len <= 240) — implemented from the spec.
+// ---------------------------------------------------------------------------
+
+static const uint8_t kSecret[192] = {
+    0xb8,0xfe,0x6c,0x39,0x23,0xa4,0x4b,0xbe,0x7c,0x01,0x81,0x2c,0xf7,0x21,0xad,0x1c,
+    0xde,0xd4,0x6d,0xe9,0x83,0x90,0x97,0xdb,0x72,0x40,0xa4,0xa4,0xb7,0xb3,0x67,0x1f,
+    0xcb,0x79,0xe6,0x4e,0xcc,0xc0,0xe5,0x78,0x82,0x5a,0xd0,0x7d,0xcc,0xff,0x72,0x21,
+    0xb8,0x08,0x46,0x74,0xf7,0x43,0x24,0x8e,0xe0,0x35,0x90,0xe6,0x81,0x3a,0x26,0x4c,
+    0x3c,0x28,0x52,0xbb,0x91,0xc3,0x00,0xcb,0x88,0xd0,0x65,0x8b,0x1b,0x53,0x2e,0xa3,
+    0x71,0x64,0x48,0x97,0xa2,0x0d,0xf9,0x4e,0x38,0x19,0xef,0x46,0xa9,0xde,0xac,0xd8,
+    0xa8,0xfa,0x76,0x3f,0xe3,0x9c,0x34,0x3f,0xf9,0xdc,0xbb,0xc7,0xc7,0x0b,0x4f,0x1d,
+    0x8a,0x51,0xe0,0x4b,0xcd,0xb4,0x59,0x31,0xc8,0x9f,0x7e,0xc9,0xd9,0x78,0x73,0x64,
+    0xea,0xc5,0xac,0x83,0x34,0xd3,0xeb,0xc3,0xc5,0x81,0xa0,0xff,0xfa,0x13,0x63,0xeb,
+    0x17,0x0d,0xdd,0x51,0xb7,0xf0,0xda,0x49,0xd3,0x16,0x55,0x26,0x29,0xd4,0x68,0x9e,
+    0x2b,0x16,0xbe,0x58,0x7d,0x47,0xa1,0xfc,0x8f,0xf8,0xb8,0xd1,0x7a,0xd0,0x31,0xce,
+    0x45,0xcb,0x3a,0x8f,0x95,0x16,0x04,0x28,0xaf,0xd7,0xfb,0xca,0xbb,0x4b,0x40,0x7e,
+};
+
+static inline uint64_t rd64(const uint8_t* p) { uint64_t v; memcpy(&v, p, 8); return v; }
+static inline uint32_t rd32(const uint8_t* p) { uint32_t v; memcpy(&v, p, 4); return v; }
+static inline uint64_t rotl64(uint64_t x, int r) { return (x << r) | (x >> (64 - r)); }
+static inline uint64_t swap32u(uint32_t x) { return __builtin_bswap32(x); }
+static inline uint64_t swap64u(uint64_t x) { return __builtin_bswap64(x); }
+
+static const uint64_t P64_1 = 0x9E3779B185EBCA87ULL;
+static const uint64_t P64_2 = 0xC2B2AE3D27D4EB4FULL;
+static const uint64_t P64_3 = 0x165667B19E3779F9ULL;
+static const uint64_t PMX1  = 0x165667919E3779F9ULL;
+static const uint64_t PMX2  = 0x9FB21C651E98DF25ULL;
+
+static inline uint64_t mul128_fold64(uint64_t a, uint64_t b) {
+    __uint128_t p = (__uint128_t)a * b;
+    return (uint64_t)p ^ (uint64_t)(p >> 64);
+}
+static inline uint64_t xxh64_avalanche(uint64_t h) {
+    h ^= h >> 33; h *= P64_2; h ^= h >> 29; h *= P64_3; h ^= h >> 32; return h;
+}
+static inline uint64_t xxh3_avalanche(uint64_t h) {
+    h ^= h >> 37; h *= PMX1; h ^= h >> 32; return h;
+}
+static inline uint64_t rrmxmx(uint64_t h, uint64_t len) {
+    h ^= rotl64(h, 49) ^ rotl64(h, 24);
+    h *= PMX2;
+    h ^= (h >> 35) + len;
+    h *= PMX2;
+    h ^= h >> 28;
+    return h;
+}
+static inline uint64_t mix16(const uint8_t* in, const uint8_t* sec, uint64_t seed) {
+    return mul128_fold64(rd64(in) ^ (rd64(sec) + seed),
+                         rd64(in + 8) ^ (rd64(sec + 8) - seed));
+}
+
+extern "C" uint64_t ct_xxh3_64(const uint8_t* data, int64_t n, uint64_t seed) {
+    if (n <= 16) {
+        if (n > 8) {
+            uint64_t f1 = (rd64(kSecret + 24) ^ rd64(kSecret + 32)) + seed;
+            uint64_t f2 = (rd64(kSecret + 40) ^ rd64(kSecret + 48)) - seed;
+            uint64_t lo = rd64(data) ^ f1;
+            uint64_t hi = rd64(data + n - 8) ^ f2;
+            uint64_t acc = (uint64_t)n + swap64u(lo) + hi + mul128_fold64(lo, hi);
+            return xxh3_avalanche(acc);
+        }
+        if (n >= 4) {
+            uint64_t s = seed ^ (swap32u((uint32_t)seed) << 32);
+            uint64_t flip = (rd64(kSecret + 8) ^ rd64(kSecret + 16)) - s;
+            uint64_t in64 = (uint64_t)rd32(data + n - 4) + ((uint64_t)rd32(data) << 32);
+            return rrmxmx(in64 ^ flip, (uint64_t)n);
+        }
+        if (n > 0) {
+            uint64_t c1 = data[0], c2 = data[n >> 1], c3 = data[n - 1];
+            uint64_t comb = (c1 << 16) | (c2 << 24) | c3 | ((uint64_t)n << 8);
+            uint64_t flip = ((uint64_t)(rd32(kSecret) ^ rd32(kSecret + 4)) + seed);
+            return xxh64_avalanche(comb ^ flip);
+        }
+        return xxh64_avalanche(seed ^ rd64(kSecret + 56) ^ rd64(kSecret + 64));
+    }
+    if (n <= 128) {
+        uint64_t acc = (uint64_t)n * P64_1;
+        if (n > 32) {
+            if (n > 64) {
+                if (n > 96) {
+                    acc += mix16(data + 48, kSecret + 96, seed);
+                    acc += mix16(data + n - 64, kSecret + 112, seed);
+                }
+                acc += mix16(data + 32, kSecret + 64, seed);
+                acc += mix16(data + n - 48, kSecret + 80, seed);
+            }
+            acc += mix16(data + 16, kSecret + 32, seed);
+            acc += mix16(data + n - 32, kSecret + 48, seed);
+        }
+        acc += mix16(data, kSecret, seed);
+        acc += mix16(data + n - 16, kSecret + 16, seed);
+        return xxh3_avalanche(acc);
+    }
+    if (n <= 240) {
+        uint64_t acc = (uint64_t)n * P64_1;
+        int rounds = (int)(n / 16);
+        for (int i = 0; i < 8; i++) acc += mix16(data + 16 * i, kSecret + 16 * i, seed);
+        acc = xxh3_avalanche(acc);
+        for (int i = 8; i < rounds; i++)
+            acc += mix16(data + 16 * i, kSecret + 16 * (i - 8) + 3, seed);
+        acc += mix16(data + n - 16, kSecret + 136 - 17, seed);
+        return xxh3_avalanche(acc);
+    }
+    return 0; // unsupported length; callers keep k-mers <= 240
+}
+
+extern "C" void ct_xxh3_rows(const uint8_t* keys, int64_t n, int32_t klen,
+                             int32_t num_hash, uint64_t bloom_size,
+                             uint32_t* rows_out) {
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* key = keys + i * klen;
+        for (int32_t h = 0; h < num_hash; h++) {
+            rows_out[i * num_hash + h] =
+                (uint32_t)(ct_xxh3_64(key, klen, (uint64_t)h) % bloom_size);
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// 2-bit canonical k-mer machinery (k <= 32, uppercase ACGT fast path)
+// ---------------------------------------------------------------------------
+
+// 0..3 = ACGT, 4 = window-killing byte (N etc.), 5 = lowercase acgt (exact-
+// case fallback needed: byte order of lowercase differs from 2-bit order).
+static uint8_t CODE[256];
+static uint8_t DECODE[4] = {'A', 'C', 'G', 'T'};
+static struct CodeInit {
+    CodeInit() {
+        for (int i = 0; i < 256; i++) CODE[i] = 4;
+        CODE['A'] = 0; CODE['C'] = 1; CODE['G'] = 2; CODE['T'] = 3;
+        CODE['a'] = 5; CODE['c'] = 5; CODE['g'] = 5; CODE['t'] = 5;
+    }
+} code_init_;
+
+static inline uint64_t splitmix64(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ULL;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+    return x ^ (x >> 31);
+}
+
+// minimizer of a canonical window c with opposite orientation o
+// (kmer.rs:971-986: fwd offsets 0..k-m, rc offsets 0..k-m-1).
+static inline uint64_t window_minimizer(uint64_t c, uint64_t o, int k, int m) {
+    const uint64_t mmask = (m == 32) ? ~0ULL : ((1ULL << (2 * m)) - 1);
+    uint64_t best = (c >> (2 * (k - m))) & mmask; // fwd offset 0
+    for (int i = 1; i <= k - m; i++) {
+        uint64_t f = (c >> (2 * (k - m - i))) & mmask;
+        if (f < best) best = f;
+        // rc m-mer for loop index i lives at byte offset k-m-i of revcomp(c)=o
+        uint64_t r = (o >> (2 * (i))) & mmask; // offset k-m-i from left == shift 2*i? see below
+        if (r < best) best = r;
+    }
+    return best;
+}
+// NOTE on the rc extraction above: o holds revcomp(c) with first base at the
+// most-significant 2 bits of the 2k-bit value. The reference examines
+// r[L-(i+m)..L-i] for i in 1..=k-m, i.e. byte offsets j = k-m-i in 0..k-m-1.
+// Byte offset j corresponds to shift 2*(k-m-j) = 2*(m ... ) — deriving:
+// substring starting at byte j, length m => bits (c >> 2*(k - m - j)) & mask.
+// With j = k-m-i the shift is 2*(k-m-(k-m-i)) = 2*i.  (Checked in tests.)
+
+struct Counter {
+    int k;
+    std::vector<uint64_t> keys;
+    std::vector<uint32_t> counts;
+    uint64_t mask_cap;   // capacity-1
+    int64_t used = 0;
+    bool fallback = false; // lowercase seen: caller must redo via numpy path
+
+    explicit Counter(int k_) : k(k_) {
+        size_t cap = 1 << 16;
+        keys.assign(cap, 0);
+        counts.assign(cap, 0);
+        mask_cap = cap - 1;
+    }
+    void grow() {
+        size_t ncap = keys.size() * 2;
+        std::vector<uint64_t> nk(ncap, 0);
+        std::vector<uint32_t> nc(ncap, 0);
+        uint64_t nm = ncap - 1;
+        for (size_t i = 0; i < keys.size(); i++) {
+            if (!counts[i]) continue;
+            uint64_t pos = splitmix64(keys[i]) & nm;
+            while (nc[pos]) pos = (pos + 1) & nm;
+            nk[pos] = keys[i];
+            nc[pos] = counts[i];
+        }
+        keys.swap(nk);
+        counts.swap(nc);
+        mask_cap = nm;
+    }
+    inline void add(uint64_t kmer, uint32_t inc = 1) {
+        uint64_t pos = splitmix64(kmer) & mask_cap;
+        for (;;) {
+            if (!counts[pos]) {
+                keys[pos] = kmer;
+                counts[pos] = inc;
+                if (++used * 10 > (int64_t)keys.size() * 7) grow();
+                return;
+            }
+            if (keys[pos] == kmer) { counts[pos] += inc; return; }
+            pos = (pos + 1) & mask_cap;
+        }
+    }
+};
+
+// Scan a sequence, calling FN(canonical_u64, opposite_u64, window_index) for
+// every valid window. Returns false (and leaves state touched) if lowercase
+// was seen — the caller must redo this sequence on the exact byte-wise path.
+template <typename FN>
+static bool scan_canonical(const uint8_t* seq, int64_t len, int k, int d, FN&& fn) {
+    if (len < k) return true;
+    const uint64_t kmask = (k == 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t fwd = 0, rc = 0;
+    int run = 0;
+    for (int64_t i = 0; i < len; i++) {
+        uint8_t c = CODE[seq[i]];
+        if (c == 5) return false; // lowercase => exact path
+        if (c >= 4) { run = 0; continue; }
+        fwd = ((fwd << 2) | c) & kmask;
+        rc = (rc >> 2) | ((uint64_t)(3 - c) << (2 * (k - 1)));
+        if (++run >= k) {
+            int64_t start = i - k + 1;
+            if (d == 1 || (start % d) == 0) {
+                uint64_t canon = fwd, other = rc;
+                if (rc < fwd) { canon = rc; other = fwd; }
+                fn(canon, other, start);
+            }
+        }
+    }
+    return true;
+}
+
+extern "C" void* ct_counter_new(int32_t k) {
+    if (k < 1 || k > 32) return nullptr;
+    return new Counter(k);
+}
+extern "C" void ct_counter_free(void* h) { delete (Counter*)h; }
+extern "C" int32_t ct_counter_fallback(void* h) { return ((Counter*)h)->fallback ? 1 : 0; }
+
+static inline bool has_lowercase_acgt(const uint8_t* seq, int64_t len) {
+    for (int64_t i = 0; i < len; i++)
+        if (CODE[seq[i]] == 5) return true;
+    return false;
+}
+
+extern "C" int32_t ct_counter_add(void* h, const uint8_t* seq, int64_t len,
+                                  int32_t d, int32_t m_size) {
+    Counter* c = (Counter*)h;
+    // pre-check so a fallback never leaves partial windows in the table
+    if (has_lowercase_acgt(seq, len)) { c->fallback = true; return 1; }
+    bool ok;
+    if (m_size > 0) {
+        int k = c->k, m = m_size;
+        ok = scan_canonical(seq, len, k, d, [&](uint64_t canon, uint64_t other, int64_t) {
+            c->add(window_minimizer(canon, other, k, m));
+        });
+    } else {
+        ok = scan_canonical(seq, len, c->k, d, [&](uint64_t canon, uint64_t, int64_t) {
+            c->add(canon);
+        });
+    }
+    if (!ok) { c->fallback = true; return 1; }
+    return 0;
+}
+
+extern "C" int64_t ct_counter_unique(void* h) { return ((Counter*)h)->used; }
+
+extern "C" void ct_counter_counts(void* h, int64_t* out) {
+    // dump all counts (for auto_cutoff histogramming), order unspecified
+    Counter* c = (Counter*)h;
+    int64_t j = 0;
+    for (size_t i = 0; i < c->keys.size(); i++)
+        if (c->counts[i]) out[j++] = c->counts[i];
+}
+
+extern "C" int64_t ct_counter_dump(void* h, int64_t t, int32_t width,
+                                   uint8_t* keys_out, int64_t* counts_out) {
+    // dump entries with count > t, decoded to ASCII (width = m_size or k)
+    Counter* c = (Counter*)h;
+    int64_t j = 0;
+    for (size_t i = 0; i < c->keys.size(); i++) {
+        if (!c->counts[i] || (int64_t)c->counts[i] <= t) continue;
+        uint64_t v = c->keys[i];
+        uint8_t* row = keys_out + j * width;
+        for (int b = width - 1; b >= 0; b--) { row[b] = DECODE[v & 3]; v >>= 2; }
+        counts_out[j] = c->counts[i];
+        j++;
+    }
+    return j;
+}
+
+// ---------------------------------------------------------------------------
+// gz fastq streaming + counting (kmers_from_fq_qual / kmers_fq_pe_qual)
+// ---------------------------------------------------------------------------
+
+struct GzLines {
+    gzFile f;
+    std::vector<char> buf;
+    explicit GzLines(const char* path) : f(gzopen(path, "rb")) { buf.reserve(1024); }
+    ~GzLines() { if (f) gzclose(f); }
+    bool ok() const { return f != nullptr; }
+    // reads one line (without terminator); returns false at EOF
+    bool next(std::string& line) {
+        line.clear();
+        char tmp[4096];
+        for (;;) {
+            if (gzgets(f, tmp, sizeof(tmp)) == nullptr) return !line.empty();
+            line += tmp;
+            if (!line.empty() && line.back() == '\n') {
+                line.pop_back();
+                if (!line.empty() && line.back() == '\r') line.pop_back();
+                return true;
+            }
+        }
+    }
+};
+
+static void mask_seq(std::string& seq, const std::string& qual, int qual_offset) {
+    if (qual_offset == 0) return;
+    char cutoff = (char)(qual_offset + 33);
+    size_t n = qual.size() < seq.size() ? qual.size() : seq.size();
+    for (size_t i = 0; i < n; i++)
+        if (qual[i] < cutoff) seq[i] = 'N';
+    if (qual.size() < seq.size()) seq.resize(qual.size()); // reference iterates qual
+}
+
+extern "C" void* ct_count_fastq(const char* path1, const char* path2,
+                                int32_t k, int32_t qual_offset, int32_t m_size) {
+    Counter* c = (Counter*)ct_counter_new(k);
+    if (!c) return nullptr;
+    GzLines f1(path1);
+    if (!f1.ok()) { delete c; return nullptr; }
+    std::string l1, seq1, qual1;
+    if (path2 && path2[0]) {
+        GzLines f2(path2);
+        if (!f2.ok()) { delete c; return nullptr; }
+        std::string l2, seq2, qual2;
+        int64_t line_count = 1;
+        while (f1.next(l1)) {
+            bool have2 = f2.next(l2);
+            if (!have2) break; // reference: None => break
+            int m4 = line_count % 4;
+            if (m4 == 2) { seq1 = l1; seq2 = l2; }
+            else if (m4 == 0) {
+                qual1 = l1; qual2 = l2;
+                mask_seq(seq1, qual1, qual_offset);
+                mask_seq(seq2, qual2, qual_offset);
+                if ((int64_t)seq1.size() >= k)
+                    ct_counter_add(c, (const uint8_t*)seq1.data(), seq1.size(), 1, m_size);
+                if ((int64_t)seq2.size() >= k)
+                    ct_counter_add(c, (const uint8_t*)seq2.data(), seq2.size(), 1, m_size);
+            }
+            line_count++;
+        }
+    } else {
+        int64_t line_count = 1;
+        while (f1.next(l1)) {
+            int m4 = line_count % 4;
+            if (m4 == 2) seq1 = l1;
+            else if (m4 == 0) {
+                qual1 = l1;
+                mask_seq(seq1, qual1, qual_offset);
+                if ((int64_t)seq1.size() >= k)
+                    ct_counter_add(c, (const uint8_t*)seq1.data(), seq1.size(), 1, m_size);
+            }
+            line_count++;
+        }
+    }
+    return c;
+}
+
+// ---------------------------------------------------------------------------
+// per-read first-occurrence k-mer sets for the read classifier
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t ct_read_sets(
+    const uint8_t* seqs, const int64_t* seq_offs, const int32_t* read_seq_counts,
+    int64_t n_reads, int32_t k, int32_t d, int32_t m_size,
+    int32_t num_hash, uint64_t bloom_size,
+    uint32_t* rows_out, int32_t* seg_out, int32_t* pos_out,
+    int32_t* maplen_out, int64_t cap) {
+    // seqs: concatenated mate sequences; seq_offs [total_seqs+1];
+    // read_seq_counts[r] = number of mates of read r (sequences are in read
+    // order). Returns total emitted k-mers, or -1-needed if cap too small,
+    // or -2 on lowercase fallback (caller redoes the batch in numpy).
+    std::vector<uint64_t> set_keys;
+    std::vector<int32_t> set_used;
+    int64_t total = 0;
+    int64_t seq_idx = 0;
+    uint8_t ascii[32];
+    int width = m_size > 0 ? m_size : k;
+    for (int64_t r = 0; r < n_reads; r++) {
+        // small per-read open set
+        set_keys.assign(1024, 0);
+        set_used.assign(1024, 0);
+        uint64_t smask = 1023;
+        int32_t pos = 0;
+        for (int32_t s = 0; s < read_seq_counts[r]; s++, seq_idx++) {
+            const uint8_t* seq = seqs + seq_offs[seq_idx];
+            int64_t len = seq_offs[seq_idx + 1] - seq_offs[seq_idx];
+            if (len < k) continue;
+            if (has_lowercase_acgt(seq, len)) return -2;
+            bool ok = scan_canonical(seq, len, k, d, [&](uint64_t canon, uint64_t other, int64_t) {
+                uint64_t key = (m_size > 0) ? window_minimizer(canon, other, k, m_size) : canon;
+                // probe
+                uint64_t p = splitmix64(key) & smask;
+                for (;;) {
+                    if (!set_used[p]) break;
+                    if (set_keys[p] == key) return; // already in set
+                    p = (p + 1) & smask;
+                }
+                // insert; grow if needed
+                set_used[p] = 1;
+                set_keys[p] = key;
+                if ((uint64_t)pos * 10 > smask * 7) {
+                    size_t ncap = (smask + 1) * 2;
+                    std::vector<uint64_t> nk(ncap, 0);
+                    std::vector<int32_t> nu(ncap, 0);
+                    uint64_t nm = ncap - 1;
+                    for (size_t i = 0; i <= smask; i++) {
+                        if (!set_used[i]) continue;
+                        uint64_t q = splitmix64(set_keys[i]) & nm;
+                        while (nu[q]) q = (q + 1) & nm;
+                        nk[q] = set_keys[i];
+                        nu[q] = 1;
+                    }
+                    set_keys.swap(nk);
+                    set_used.swap(nu);
+                    smask = nm;
+                }
+                if (total < cap) {
+                    uint64_t v = key;
+                    for (int b = width - 1; b >= 0; b--) { ascii[b] = DECODE[v & 3]; v >>= 2; }
+                    for (int32_t h = 0; h < num_hash; h++)
+                        rows_out[total * num_hash + h] =
+                            (uint32_t)(ct_xxh3_64(ascii, width, (uint64_t)h) % bloom_size);
+                    seg_out[total] = (int32_t)r;
+                    pos_out[total] = pos;
+                }
+                total++;
+                pos++;
+            });
+            if (!ok) return -2;
+        }
+        maplen_out[r] = pos;
+    }
+    if (total > cap) return -1 - total; // caller re-allocates and retries
+    return total;
+}

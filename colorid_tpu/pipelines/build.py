@@ -52,6 +52,39 @@ def tab_to_map(path: str) -> dict[str, list[str]]:
     return out
 
 
+def _finish_native(nc, cutoff: int, is_fasta: bool):
+    """Apply the reference's filter rules to a native counter and dump."""
+    if cutoff == -1:
+        if is_fasta:
+            return nc.dump(0)  # fasta at -1 is unfiltered (build.rs:86-88)
+        t = auto_cutoff(nc.counts())
+        return nc.dump(t)
+    return nc.dump(cutoff)
+
+
+def _native_kmers(paths, k, quality, cutoff, m_size):
+    """C++ fast path; None if unavailable or the input needs the exact
+    (lowercase-preserving) numpy path."""
+    from .. import native
+
+    if not native.available() or k > 32 or (m_size and m_size > 32):
+        return None
+    if len(paths) == 2:
+        nc = native.count_fastq(paths[0], paths[1], k, quality, m_size)
+        return None if nc is None else _finish_native(nc, cutoff, False)
+    if paths[0].endswith("gz"):
+        nc = native.count_fastq(paths[0], None, k, quality, m_size)
+        return None if nc is None else _finish_native(nc, cutoff, False)
+    try:
+        nc = native.NativeCounter(k, m_size)
+    except ValueError:
+        return None
+    for s in read_fasta(paths[0]):
+        if not nc.add(to_bytes(s)):
+            return None  # lowercase: exact numpy path
+    return _finish_native(nc, cutoff, True)
+
+
 def accession_kmers(
     paths: list[str],
     k: int,
@@ -61,8 +94,12 @@ def accession_kmers(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Counted + filtered k-mers (or minimizers) for one accession.
 
-    Returns (keys [U, width], counts [U]) lexicographically sorted.
+    Returns (keys [U, width], counts [U]); native path order is hash-table
+    order, numpy path is sorted — callers never depend on order.
     """
+    got = _native_kmers(paths, k, quality, cutoff, m_size)
+    if got is not None:
+        return got
     if len(paths) == 2:
         seqs = (
             s

@@ -37,6 +37,31 @@ from .reports import read_counts_five_fields
 Classification = tuple[str, str, int, int, str, int]
 
 
+def _prepare_native(batch, todo_idx, index, d):
+    """Flattened per-read k-mer rows via the C++ fast path (None => numpy)."""
+    from .. import native
+
+    if not native.available():
+        return None
+    k, m = index.k_size, index.m_size
+    if k > 32 or (m and m > 32):
+        return None
+    seqs = []
+    nseqs = np.empty(len(todo_idx), dtype=np.int32)
+    for j, i in enumerate(todo_idx):
+        mates = batch[i][1]
+        nseqs[j] = len(mates)
+        seqs.extend(mates)
+    offs = np.zeros(len(seqs) + 1, dtype=np.int64)
+    offs[1:] = np.cumsum([len(s) for s in seqs])
+    concat = (
+        np.concatenate(seqs) if seqs else np.zeros(0, dtype=np.uint8)
+    )
+    return native.read_sets(
+        concat, offs, nseqs, k, d, m, index.num_hash, index.bloom_size
+    )
+
+
 def classify_batch(
     batch: list[tuple[str, list[np.ndarray]]],
     engine: QueryEngine,
@@ -62,19 +87,25 @@ def classify_batch(
     )
     out: list[Classification] = [None] * len(batch)  # type: ignore
     todo_idx: list[int] = []
-    keys_list: list[np.ndarray] = []
-    map_lens: list[int] = []
     for i, (rid, seqs) in enumerate(batch):
         if len(seqs[0]) < k:
             out[i] = (rid, "too_short", 0, 0, "accept", 0)
             continue
-        keys = kmer_set(seqs, k, d=d, minimizer=m)
         todo_idx.append(i)
-        keys_list.append(keys)
-        map_lens.append(keys.shape[0])
     if not todo_idx:
         return out
-    report = engine.readid_counts(keys_list, start_sample)  # [B, C+1]
+    prepared = _prepare_native(batch, todo_idx, index, d)
+    if prepared is not None:
+        rows, seg, pos, map_lens = prepared
+        report = engine.readid_counts_arrays(
+            rows, seg, pos, len(todo_idx), start_sample
+        )
+    else:
+        keys_list = [
+            kmer_set(batch[i][1], k, d=d, minimizer=m) for i in todo_idx
+        ]
+        map_lens = [keys.shape[0] for keys in keys_list]
+        report = engine.readid_counts(keys_list, start_sample)  # [B, C+1]
     real = report[:, :C].astype(np.int64)
     noh = report[:, C].astype(np.int64)
     mlen = np.asarray(map_lens, dtype=np.int64)

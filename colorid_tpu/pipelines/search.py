@@ -28,6 +28,36 @@ def _count_query_kmers(
     gene_search: bool,
 ):
     """Query k-mer counting + filtering (batch_search_pe.rs:24-39,106-120)."""
+    from .. import native
+
+    if native.available() and k <= 32:
+        if file1.endswith("gz"):
+            print(
+                file1 if file2 is None else f"Paired end: {file1} {file2}",
+                file=sys.stderr,
+            )
+            print("Counting k-mers, this may take a while!", file=sys.stderr)
+            nc = native.count_fastq(file1, file2, k, qual_offset, 0)
+            if nc is not None:
+                if filter_t < 0:
+                    return nc.dump(auto_cutoff(nc.counts()))
+                return nc.dump(filter_t)
+        else:
+            print(file1, file=sys.stderr)
+            print("Counting k-mers, this may take a while!", file=sys.stderr)
+            try:
+                nc = native.NativeCounter(k)
+            except ValueError:
+                nc = None
+            if nc is not None:
+                ok = all(nc.add(to_bytes(s)) for s in read_fasta(file1))
+                if ok:
+                    if gene_search:
+                        return nc.dump(0)
+                    if filter_t < 0:
+                        print("no gene search", file=sys.stderr)
+                        return nc.dump(auto_cutoff(nc.counts()))
+                    return nc.dump(filter_t)
     if file1.endswith("gz"):
         if file2 is None:
             print(file1, file=sys.stderr)
