@@ -1,0 +1,184 @@
+"""Multi-chip sharded query execution (jax.sharding Mesh + shard_map).
+
+The BIGSI engine has three parallel axes (SURVEY §2: the reference's rayon
+threads map to these):
+
+- **data**: k-mer/read batches split across devices (the reference's
+  par_iter over read batches). Per-color counts merge with psum over ICI.
+- **color**: the bit-slice matrix split along the packed color-word axis.
+  Each device gathers from its own full-height matrix slice, so the HBM
+  gather needs NO inter-device traffic; only the [C]-sized count vectors and
+  presence bits are combined. This is the throughput layout for wide
+  (metagenomic) indexes.
+- **row**: the matrix split along the Bloom-row axis (each device owns
+  bloom_size/n rows). A device treats rows it does not own as neutral
+  (all-ones words, present) and the partial AND/presence combine with a
+  bitwise-AND all_gather-reduce over the mesh. This is the memory-scaling
+  layout when one device cannot hold the matrix.
+
+All three compose in one mesh ("data" x "color"|"row").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.query import _unpack_bits
+
+
+def make_mesh(n_data: int, n_model: int, model_axis: str) -> Mesh:
+    devs = np.array(jax.devices()[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", model_axis))
+
+
+def pad_matrix_colors(matrix: np.ndarray, n_shards: int) -> np.ndarray:
+    """Pad the packed color-word axis so it divides evenly across shards."""
+    R, W = matrix.shape
+    Wp = ((W + n_shards - 1) // n_shards) * n_shards
+    if Wp == W:
+        return matrix
+    out = np.zeros((R, Wp), dtype=matrix.dtype)
+    out[:, :W] = matrix
+    return out
+
+
+def pad_matrix_rows(matrix: np.ndarray, n_shards: int) -> np.ndarray:
+    R, W = matrix.shape
+    Rp = ((R + n_shards - 1) // n_shards) * n_shards
+    if Rp == R:
+        return matrix
+    out = np.zeros((Rp, W), dtype=matrix.dtype)
+    out[:R] = matrix
+    return out
+
+
+def device_put_colorshard(matrix: np.ndarray, mesh: Mesh) -> jax.Array:
+    m = pad_matrix_colors(matrix, mesh.shape["color"])
+    return jax.device_put(m, NamedSharding(mesh, P(None, "color")))
+
+
+def device_put_rowshard(matrix: np.ndarray, mesh: Mesh) -> jax.Array:
+    m = pad_matrix_rows(matrix, mesh.shape["row"])
+    return jax.device_put(m, NamedSharding(mesh, P("row", None)))
+
+
+# ---------------------------------------------------------------------------
+# color-sharded query
+# ---------------------------------------------------------------------------
+
+
+def _colorshard_body(mat, rows, mask):
+    """Per-device body. mat: [R, Wl]; rows: [Nl, H]; mask: [Nl]."""
+    g = jnp.take(mat, rows, axis=0)  # [Nl, H, Wl]
+    # presence must consider ALL color shards: OR across 'color'
+    present_local = (g != 0).any(axis=2)  # [Nl, H]
+    present = (
+        jax.lax.psum(present_local.astype(jnp.int32), "color") > 0
+    ).all(axis=1)
+    valid = present & mask
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    bits = _unpack_bits(andw)  # [Nl, Cl]
+    vbits = bits * valid[:, None].astype(jnp.int32)
+    counts_l = vbits.sum(axis=0)  # [Cl] partial over local kmers
+    counts = jax.lax.psum(counts_l, "data")
+    nhits_l = vbits.sum(axis=1)
+    nhits = jax.lax.psum(nhits_l, "color")
+    base = jax.lax.axis_index("color") * bits.shape[1]
+    coloridx_l = jnp.argmax(vbits, axis=1).astype(jnp.int32) + base
+    has_local = nhits_l > 0
+    cand = jnp.where(has_local, coloridx_l, -1)
+    coloridx = jax.lax.pmax(cand, "color")
+    uniq = jnp.where(valid & (nhits == 1), coloridx, -1)
+    # perfect-search global AND (within my color slice, over all kmers)
+    masked = jnp.where(valid[:, None], andw, jnp.uint32(0xFFFFFFFF))
+    and_local = jax.lax.reduce(
+        masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, dimensions=(0,)
+    )
+    gathered = jax.lax.all_gather(and_local, "data")  # [nd, Wl]
+    and_all = jax.lax.reduce(
+        gathered, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, dimensions=(0,)
+    )
+    ok_l = (present | ~mask).all()
+    all_valid = jax.lax.pmin(ok_l.astype(jnp.int32), "data") > 0
+    return counts, uniq, valid, and_all, all_valid
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def query_batch_colorshard(matrix, rows, mask, *, mesh):
+    """Same contract as ops.query.query_batch, on a ("data","color") mesh."""
+    f = jax.shard_map(
+        _colorshard_body,
+        mesh=mesh,
+        in_specs=(P(None, "color"), P("data", None), P("data")),
+        out_specs=(
+            P("color"),  # counts concat over color shards
+            P("data"),  # uniq per kmer
+            P("data"),  # valid
+            P("color"),  # and_all words
+            P(),  # all_valid replicated
+        ),
+        check_vma=False,
+    )
+    return f(matrix, rows, mask)
+
+
+# ---------------------------------------------------------------------------
+# row-sharded query
+# ---------------------------------------------------------------------------
+
+
+def _rowshard_body(mat, rows, mask):
+    """mat: [Rl, W] (this device owns rows [lo, lo+Rl)); rows: [Nl, H]."""
+    Rl = mat.shape[0]
+    lo = jax.lax.axis_index("row") * Rl
+    local = rows - lo
+    owned = (local >= 0) & (local < Rl)
+    safe = jnp.clip(local, 0, Rl - 1)
+    g = jnp.take(mat, safe, axis=0)  # [Nl, H, W]
+    ones = jnp.uint32(0xFFFFFFFF)
+    g = jnp.where(owned[:, :, None], g, ones)  # neutral for AND
+    present_or_neutral = jnp.where(owned, (g != 0).any(axis=2), True)
+    # combine across row shards: AND of partial ANDs / presence
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    ga = jax.lax.all_gather(andw, "row")  # [nr, Nl, W]
+    andw = jax.lax.reduce(ga, ones, jax.lax.bitwise_and, dimensions=(0,))
+    present = (
+        jax.lax.psum(present_or_neutral.astype(jnp.int32), "row")
+        == jax.lax.axis_size("row")
+    ).all(axis=1)
+    valid = present & mask
+    bits = _unpack_bits(andw)
+    vbits = bits * valid[:, None].astype(jnp.int32)
+    counts = jax.lax.psum(vbits.sum(axis=0), "data")
+    nhits = vbits.sum(axis=1)
+    coloridx = jnp.argmax(vbits, axis=1).astype(jnp.int32)
+    uniq = jnp.where(valid & (nhits == 1), coloridx, -1)
+    masked = jnp.where(valid[:, None], andw, ones)
+    and_local = jax.lax.reduce(masked, ones, jax.lax.bitwise_and, dimensions=(0,))
+    gathered = jax.lax.all_gather(and_local, "data")
+    and_all = jax.lax.reduce(gathered, ones, jax.lax.bitwise_and, dimensions=(0,))
+    ok_l = (present | ~mask).all()
+    all_valid = jax.lax.pmin(ok_l.astype(jnp.int32), "data") > 0
+    return counts, uniq, valid, and_all, all_valid
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def query_batch_rowshard(matrix, rows, mask, *, mesh):
+    """Same contract as ops.query.query_batch, on a ("data","row") mesh."""
+    f = jax.shard_map(
+        _rowshard_body,
+        mesh=mesh,
+        in_specs=(P("row", None), P("data", None), P("data")),
+        out_specs=(P(), P("data"), P("data"), P(), P()),
+        check_vma=False,
+    )
+    return f(matrix, rows, mask)
