@@ -17,7 +17,12 @@ import numpy as np
 from . import native
 from .hashing.xxh3 import bloom_rows_batch
 from .index.bigsi import BigsiIndex
-from .ops.query import PAD_POS, query_batch, query_readid_batch
+from .ops.query import (
+    PAD_POS,
+    query_batch,
+    query_batch_compact,
+    query_readid_batch,
+)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -57,17 +62,22 @@ class QueryEngine:
     # -- search (batch_search_pe / perfect_search hot loop) ------------------
 
     def search_keys(self, keys: np.ndarray) -> SearchResult:
-        """Per-color counts + unique-hit colors for a set of k-mers."""
+        """Per-color counts + unique-hit colors for a set of k-mers.
+
+        All batches are dispatched with only device-side aggregation; the
+        per-k-mer unique-hit list is compacted on device and fetched at the
+        end (a thin host↔device link makes full per-k-mer readback the
+        bottleneck otherwise)."""
         n = keys.shape[0]
         C = self.index.n_colors
         W = self.index.words_per_row
         counts = np.zeros(C, dtype=np.int64)
-        uniq_color = np.empty(n, dtype=np.int32)
+        uniq_color = np.full(n, -1, dtype=np.int32)
         and_all = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
-        all_valid = True
         if n == 0:
             return SearchResult(counts, uniq_color, True, and_all)
         rows_all = self.rows_for_keys(keys)
+        pending = []  # (start, m, device handles)
         for start in range(0, n, self.chunk):
             stop = min(start + self.chunk, n)
             m = stop - start
@@ -76,13 +86,21 @@ class QueryEngine:
             rows[:m] = rows_all[start:stop]
             mask = np.zeros(size, dtype=bool)
             mask[:m] = True
-            c, u, _v, aa, av = query_batch(
+            out = query_batch_compact(
                 self.matrix, jnp.asarray(rows), jnp.asarray(mask)
             )
+            pending.append((start, m, out))
+        all_valid = True
+        for start, m, (c, nu, ui, uc, aa, av) in pending:
             counts += np.asarray(c[:C], dtype=np.int64)
-            uniq_color[start:stop] = np.asarray(u[:m])
             and_all &= np.asarray(aa)
             all_valid = bool(av) and all_valid
+            k = int(nu)
+            if k:
+                kp = min(1 << (k - 1).bit_length(), ui.shape[0])
+                idx = np.asarray(ui[:kp])[:k]
+                col = np.asarray(uc[:kp])[:k]
+                uniq_color[start + idx] = col
         return SearchResult(counts, uniq_color, all_valid, and_all)
 
     # -- read classifier (read_id hot loop) ----------------------------------

@@ -74,6 +74,54 @@ def query_batch(matrix: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray):
     return counts, uniq_color, valid, and_all, all_valid
 
 
+@jax.jit
+def query_batch_compact(matrix: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray):
+    """query_batch with device-side compaction of unique-hit k-mers.
+
+    Host↔device traffic is the bottleneck when the device link is thin (and
+    never free): instead of returning a [N] per-k-mer color vector, the
+    unique-hit (k-mer index, color) pairs are compacted on device so the
+    host fetches only ``n_uniq`` entries.
+
+    Returns:
+      counts:     int32 [W*32]
+      n_uniq:     int32 []      number of unique-hit k-mers
+      uniq_idx:   int32 [N]     first n_uniq entries: k-mer indices
+      uniq_color: int32 [N]     first n_uniq entries: their colors
+      and_all:    uint32 [W]
+      all_valid:  bool []
+    """
+    g = jnp.take(matrix, rows, axis=0)
+    present = (g != 0).any(axis=2).all(axis=1)
+    valid = present & mask
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    bits = _unpack_bits(andw)
+    vbits = bits * valid[:, None].astype(jnp.int32)
+    counts = vbits.sum(axis=0)
+    nhits = vbits.sum(axis=1)
+    coloridx = jnp.argmax(vbits, axis=1).astype(jnp.int32)
+    uniq_mask = valid & (nhits == 1)
+    n = rows.shape[0]
+    pos = jnp.cumsum(uniq_mask) - 1
+    n_uniq = uniq_mask.sum().astype(jnp.int32)
+    scatter_to = jnp.where(uniq_mask, pos, n)
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    uniq_idx = (
+        jnp.zeros(n, dtype=jnp.int32).at[scatter_to].set(idxs, mode="drop")
+    )
+    uniq_color = (
+        jnp.zeros(n, dtype=jnp.int32).at[scatter_to].set(coloridx, mode="drop")
+    )
+    masked = jnp.where(valid[:, None], andw, jnp.uint32(0xFFFFFFFF))
+    and_all = jax.lax.reduce(
+        masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, dimensions=(0,)
+    )
+    all_valid = (present | ~mask).all()
+    return counts, n_uniq, uniq_idx, uniq_color, and_all, all_valid
+
+
 PAD_POS = np.int32(2**30)  # kmer_pos for padding slots: never counted
 
 
