@@ -19,6 +19,7 @@ from .hashing.xxh3 import bloom_rows_batch
 from .index.bigsi import BigsiIndex
 from .ops.query import (
     PAD_POS,
+    query_accumulate,
     query_batch,
     query_batch_compact,
     query_readid_batch,
@@ -61,14 +62,16 @@ class QueryEngine:
 
     # -- search (batch_search_pe / perfect_search hot loop) ------------------
 
-    def search_keys(self, keys: np.ndarray) -> SearchResult:
+    def search_keys(
+        self, keys: np.ndarray, rows_all: np.ndarray | None = None
+    ) -> SearchResult:
         """Per-color counts + unique-hit colors for a set of k-mers.
 
-        All batches are dispatched with only device-side aggregation; the
-        per-k-mer unique-hit list is compacted on device and fetched at the
-        end (a thin host↔device link makes full per-k-mer readback the
-        bottleneck otherwise)."""
-        n = keys.shape[0]
+        The whole query accumulates on device (donated stats + compacted
+        unique-hit buffers, ops/query.py::query_accumulate); the host fetches
+        once at the end. On a thin host↔device link per-batch readback would
+        otherwise dominate the hot loop."""
+        n = keys.shape[0] if rows_all is None else rows_all.shape[0]
         C = self.index.n_colors
         W = self.index.words_per_row
         counts = np.zeros(C, dtype=np.int64)
@@ -76,8 +79,18 @@ class QueryEngine:
         and_all = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
         if n == 0:
             return SearchResult(counts, uniq_color, True, and_all)
-        rows_all = self.rows_for_keys(keys)
-        pending = []  # (start, m, device handles)
+        if rows_all is None:
+            rows_all = self.rows_for_keys(keys)
+        stats = jnp.concatenate(
+            [
+                jnp.zeros(C, dtype=jnp.int32),
+                jnp.full(W, -1, dtype=jnp.int32),  # 0xFFFFFFFF and-words
+                jnp.array([1, 0], dtype=jnp.int32),  # ok, n_uniq
+            ]
+        )
+        cap = _round_up(n, 1024)
+        ui_buf = jnp.zeros(cap, dtype=jnp.int32)
+        uc_buf = jnp.zeros(cap, dtype=jnp.int32)
         for start in range(0, n, self.chunk):
             stop = min(start + self.chunk, n)
             m = stop - start
@@ -86,21 +99,25 @@ class QueryEngine:
             rows[:m] = rows_all[start:stop]
             mask = np.zeros(size, dtype=bool)
             mask[:m] = True
-            out = query_batch_compact(
-                self.matrix, jnp.asarray(rows), jnp.asarray(mask)
+            stats, ui_buf, uc_buf = query_accumulate(
+                stats,
+                ui_buf,
+                uc_buf,
+                self.matrix,
+                jnp.asarray(rows),
+                jnp.asarray(mask),
+                jnp.int32(start),
             )
-            pending.append((start, m, out))
-        all_valid = True
-        for start, m, (c, nu, ui, uc, aa, av) in pending:
-            counts += np.asarray(c[:C], dtype=np.int64)
-            and_all &= np.asarray(aa)
-            all_valid = bool(av) and all_valid
-            k = int(nu)
-            if k:
-                kp = min(1 << (k - 1).bit_length(), ui.shape[0])
-                idx = np.asarray(ui[:kp])[:k]
-                col = np.asarray(uc[:kp])[:k]
-                uniq_color[start + idx] = col
+        st = np.asarray(stats)
+        counts += st[:C].astype(np.int64)
+        and_all &= st[C : C + W].astype(np.uint32)
+        all_valid = bool(st[C + W])
+        k = int(st[C + W + 1])
+        if k:
+            kp = min(_round_up(k, 1024), cap)
+            idx = np.asarray(ui_buf[:kp])[:k]
+            col = np.asarray(uc_buf[:kp])[:k]
+            uniq_color[idx] = col
         return SearchResult(counts, uniq_color, all_valid, and_all)
 
     # -- read classifier (read_id hot loop) ----------------------------------

@@ -122,6 +122,67 @@ def query_batch_compact(matrix: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarra
     return counts, n_uniq, uniq_idx, uniq_color, and_all, all_valid
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def query_accumulate(
+    stats: jnp.ndarray,  # int32 [C' + W + 2]: counts ++ and_words ++ [ok, n_uniq]
+    uniq_idx_buf: jnp.ndarray,  # int32 [cap]
+    uniq_col_buf: jnp.ndarray,  # int32 [cap]
+    matrix: jnp.ndarray,
+    rows: jnp.ndarray,
+    mask: jnp.ndarray,
+    base_idx: jnp.ndarray,  # int32 [] global index of rows[0]
+):
+    """One batch of the streaming query, accumulated fully on device.
+
+    The caller keeps `stats` and the uniq buffers on device across the whole
+    query and fetches them once at the end — on a thin host↔device link the
+    per-batch readback would otherwise dominate (SURVEY §6 hot loop).
+    Buffers are donated: the update is in-place in HBM.
+    """
+    N = rows.shape[0]
+    W = matrix.shape[1]
+    C = stats.shape[0] - W - 2
+    g = jnp.take(matrix, rows, axis=0)
+    present = (g != 0).any(axis=2).all(axis=1)
+    valid = present & mask
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    bits = _unpack_bits(andw)[:, :C]
+    vbits = bits * valid[:, None].astype(jnp.int32)
+    counts = vbits.sum(axis=0)
+    nhits = vbits.sum(axis=1)
+    coloridx = jnp.argmax(vbits, axis=1).astype(jnp.int32)
+    uniq_mask = valid & (nhits == 1)
+    n_new = uniq_mask.sum().astype(jnp.int32)
+    masked = jnp.where(valid[:, None], andw, jnp.uint32(0xFFFFFFFF))
+    and_b = jax.lax.reduce(
+        masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, dimensions=(0,)
+    )
+    ok_b = (present | ~mask).all()
+
+    n_before = stats[C + W + 1]
+    cap = uniq_idx_buf.shape[0]
+    pos = jnp.cumsum(uniq_mask) - 1
+    to = jnp.where(uniq_mask, n_before + pos, cap)
+    idxs = jnp.arange(N, dtype=jnp.int32) + base_idx
+    uniq_idx_buf = uniq_idx_buf.at[to].set(idxs, mode="drop")
+    uniq_col_buf = uniq_col_buf.at[to].set(coloridx, mode="drop")
+
+    new_counts = stats[:C] + counts
+    new_and = (stats[C : C + W].astype(jnp.uint32) & and_b).astype(jnp.int32)
+    new_ok = stats[C + W] * ok_b.astype(jnp.int32)
+    stats = jnp.concatenate(
+        [
+            new_counts,
+            new_and,
+            new_ok[None],
+            (n_before + n_new)[None],
+        ]
+    )
+    return stats, uniq_idx_buf, uniq_col_buf
+
+
 PAD_POS = np.int32(2**30)  # kmer_pos for padding slots: never counted
 
 
