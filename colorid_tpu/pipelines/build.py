@@ -133,6 +133,14 @@ def accession_kmers(
     return clean_counts(keys, counts, cutoff)
 
 
+def _hash_rows(keys: np.ndarray, num_hash: int, bloom_size: int) -> np.ndarray:
+    from .. import native
+
+    if keys.shape[0] and native.available():
+        return native.xxh3_rows(keys, num_hash, bloom_size)
+    return bloom_rows_batch(keys, num_hash, bloom_size)
+
+
 def build_index(
     ref_map: dict[str, list[str]],
     bloom_size: int,
@@ -142,13 +150,18 @@ def build_index(
     quality: int = 15,
     cutoff: int = -1,
     verbose: bool = True,
+    device: bool = False,
 ) -> BigsiIndex:
-    """Build the dense bit-slice index (build.rs:132-256 semantics)."""
+    """Build the dense bit-slice index (build.rs:132-256 semantics).
+
+    device=True runs the scatter-OR transpose on the accelerator
+    (ops/build_ops.py); device=False scatters with numpy on host."""
     accessions = sorted(ref_map.keys())
     C = len(accessions)
     W = (C + 31) // 32
-    matrix = np.zeros((bloom_size, W), dtype=np.uint32)
     n_ref_kmers: dict[str, int] = {}
+    row_lists: list[np.ndarray] = []
+    matrix = None if device else np.zeros((bloom_size, W), dtype=np.uint32)
     for i, acc in enumerate(accessions):
         if verbose:
             print(f"Adding {acc} to index ({i + 1}/{C})", file=sys.stderr)
@@ -157,11 +170,19 @@ def build_index(
         )
         n_ref_kmers[acc] = keys.shape[0]
         if keys.shape[0] == 0:
-            continue
-        rows = bloom_rows_batch(keys, num_hash, bloom_size)
-        bloom = np.zeros(bloom_size, dtype=bool)
-        bloom[rows.ravel()] = True
-        matrix[:, i // 32] |= bloom.astype(np.uint32) << np.uint32(i % 32)
+            rows = np.zeros((0, num_hash), dtype=np.int32)
+        else:
+            rows = _hash_rows(keys, num_hash, bloom_size)
+        if device:
+            row_lists.append(rows.astype(np.int32))
+        else:
+            bloom = np.zeros(bloom_size, dtype=bool)
+            bloom[rows.ravel()] = True
+            matrix[:, i // 32] |= bloom.astype(np.uint32) << np.uint32(i % 32)
+    if device:
+        from ..ops.build_ops import build_matrix_device
+
+        matrix = np.asarray(build_matrix_device(row_lists, bloom_size))
     return BigsiIndex(
         bloom_size=bloom_size,
         num_hash=num_hash,

@@ -1,0 +1,36 @@
+"""Device scatter-OR build vs the host numpy build."""
+
+import numpy as np
+
+from colorid_tpu.ops.build_ops import build_matrix_device
+from colorid_tpu.pipelines.build import build_index
+
+REFS = "/root/reference/test_data/refs"
+
+
+def test_scatter_or_matches_host():
+    rng = np.random.default_rng(0)
+    R, C = 10000, 70  # spans 3 words
+    row_lists = [
+        rng.integers(0, R, rng.integers(0, 500)).astype(np.int32)
+        for _ in range(C)
+    ]
+    got = np.asarray(build_matrix_device(row_lists, R, pad_to=1024))
+    W = (C + 31) // 32
+    want = np.zeros((R, W), dtype=np.uint32)
+    for c, rows in enumerate(row_lists):
+        b = np.zeros(R, dtype=bool)
+        b[rows] = True
+        want[:, c // 32] |= b.astype(np.uint32) << np.uint32(c % 32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_build_index_device_matches_host():
+    ref_map = {
+        "B021": [f"{REFS}/Listeria_phage_B021.fasta"],
+        "B056": [f"{REFS}/Listeria_phage_B056.fasta"],
+    }
+    host = build_index(ref_map, 100000, 3, 21, verbose=False, device=False)
+    dev = build_index(ref_map, 100000, 3, 21, verbose=False, device=True)
+    np.testing.assert_array_equal(host.matrix, dev.matrix)
+    assert host.n_ref_kmers == dev.n_ref_kmers
