@@ -19,6 +19,7 @@ from .hashing.xxh3 import bloom_rows_batch
 from .index.bigsi import BigsiIndex
 from .ops.query import (
     PAD_POS,
+    pack_matrix_blocks,
     query_accumulate,
     query_batch,
     query_batch_compact,
@@ -41,12 +42,16 @@ class SearchResult:
 class QueryEngine:
     """Executes the BIGSI hot loop on one device."""
 
-    def __init__(self, index: BigsiIndex, chunk: int = 1 << 17):
+    def __init__(self, index: BigsiIndex, chunk: int = 1 << 20):
         self.index = index
         self.chunk = chunk
-        self.matrix = jnp.asarray(np.asarray(index.matrix), dtype=jnp.uint32)
-        if index.bloom_size >= 2**31:
-            raise ValueError("bloom_size >= 2^31 unsupported (int32 rows)")
+        blocks, self.wpad = pack_matrix_blocks(np.asarray(index.matrix))
+        self.blocks2 = jnp.asarray(blocks)
+        if index.bloom_size * self.wpad >= 2**31:
+            raise ValueError(
+                "bloom_size * padded_row_words >= 2^31 unsupported (int32 "
+                "word addressing); shard colors across devices instead"
+            )
 
     # -- hashing ------------------------------------------------------------
 
@@ -84,7 +89,7 @@ class QueryEngine:
         stats = jnp.concatenate(
             [
                 jnp.zeros(C, dtype=jnp.int32),
-                jnp.full(W, -1, dtype=jnp.int32),  # 0xFFFFFFFF and-words
+                jnp.full(self.wpad, -1, dtype=jnp.int32),  # and-words
                 jnp.array([1, 0], dtype=jnp.int32),  # ok, n_uniq
             ]
         )
@@ -103,16 +108,17 @@ class QueryEngine:
                 stats,
                 ui_buf,
                 uc_buf,
-                self.matrix,
+                self.blocks2,
                 jnp.asarray(rows),
                 jnp.asarray(mask),
                 jnp.int32(start),
+                wpad=self.wpad,
             )
         st = np.asarray(stats)
         counts += st[:C].astype(np.int64)
         and_all &= st[C : C + W].astype(np.uint32)
-        all_valid = bool(st[C + W])
-        k = int(st[C + W + 1])
+        all_valid = bool(st[C + self.wpad])
+        k = int(st[C + self.wpad + 1])
         if k:
             kp = min(_round_up(k, 1024), cap)
             idx = np.asarray(ui_buf[:kp])[:k]
@@ -185,13 +191,14 @@ class QueryEngine:
             pos_p = np.full(size, PAD_POS, dtype=np.int32)
             pos_p[:n] = pos[lo:hi]
             report = query_readid_batch(
-                self.matrix,
+                self.blocks2,
                 jnp.asarray(rows_p),
                 jnp.asarray(seg_p),
                 jnp.asarray(pos_p),
                 num_reads=READS,
                 start_sample=start_sample,
                 num_colors=C,
+                wpad=self.wpad,
             )
             out[r0:r1] = np.asarray(report)[: r1 - r0]
         return out

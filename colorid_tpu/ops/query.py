@@ -33,8 +33,66 @@ def _unpack_bits(words: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(*words.shape[:-1], words.shape[-1] * 32).astype(jnp.int32)
 
 
-@jax.jit
-def query_batch(matrix: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray):
+def pack_matrix_blocks(matrix: np.ndarray) -> tuple[np.ndarray, int]:
+    """Re-pack the [R, W] matrix for the block-gather kernel.
+
+    TPU XLA lowers row gathers with sub-tile rows to a serial scalar loop
+    (~1M probes/s); gathers of full 128-lane blocks pipeline at ~80M/s. So
+    the matrix is stored as [n_blocks, 128] uint32 with the row width padded
+    to a power of two (keeping each row's words inside one block). Returns
+    (blocks, wpad).
+    """
+    R, W = matrix.shape
+    wpad = 1 << (max(W, 1) - 1).bit_length()
+    if wpad > 128:
+        raise ValueError("more than 4096 colors per device shard unsupported")
+    flat = np.zeros(((R * wpad + 127) // 128) * 128, dtype=np.uint32)
+    if wpad == W:
+        flat[: R * W] = np.ascontiguousarray(matrix).reshape(-1)
+    else:
+        tmp = np.zeros((R, wpad), dtype=np.uint32)
+        tmp[:, :W] = matrix
+        flat[: R * wpad] = tmp.reshape(-1)
+    return flat.reshape(-1, 128), wpad
+
+
+def _gather_rows(blocks2: jnp.ndarray, rows: jnp.ndarray, wpad: int):
+    """vals[n, h, w] = matrix[rows[n, h], w] via fused block-gather +
+    one-hot lane select (the TPU-fast replacement for jnp.take on rows)."""
+    N, H = rows.shape
+    word0 = rows.reshape(-1).astype(jnp.int32) * np.int32(wpad)  # [P]
+    P = word0.shape[0]
+    n_chunks = 8 if P % 8 == 0 else 1
+    lanes = jnp.arange(128, dtype=jnp.int32)[None, :]
+
+    def chunk(carry, w0):
+        blk = w0 >> 7
+        lane = w0 & 127
+        b = jnp.take(blocks2, blk, axis=0)  # [CP, 128]
+        outs = [
+            (b * (lanes == (lane + w)[:, None]).astype(jnp.uint32)).sum(
+                axis=1, dtype=jnp.uint32
+            )
+            for w in range(wpad)
+        ]
+        return carry, jnp.stack(outs, axis=1)  # [CP, wpad]
+
+    _, vals = jax.lax.scan(chunk, 0, word0.reshape(n_chunks, P // n_chunks))
+    return vals.reshape(N, H, wpad)
+
+
+def _and_present(blocks2, rows, wpad: int):
+    """AND over the hash axis + row-presence, via the fast gather."""
+    g = _gather_rows(blocks2, rows, wpad)  # [N, H, wpad]
+    present = (g != 0).any(axis=2).all(axis=1)
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    return andw, present
+
+
+@partial(jax.jit, static_argnames=("wpad",))
+def query_batch(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray, *, wpad: int):
     """Score one batch of k-mers against the index.
 
     Args:
@@ -53,12 +111,8 @@ def query_batch(matrix: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray):
                                 (perfect-search global intersection)
       all_valid:  bool  []      every real k-mer had all rows present
     """
-    g = jnp.take(matrix, rows, axis=0)  # [N, H, W]
-    present = (g != 0).any(axis=2).all(axis=1)  # [N]
+    andw, present = _and_present(blocks2, rows, wpad)
     valid = present & mask
-    andw = g[:, 0, :]
-    for h in range(1, g.shape[1]):
-        andw = andw & g[:, h, :]
     bits = _unpack_bits(andw)  # [N, C']
     vbits = bits * valid[:, None].astype(jnp.int32)
     counts = vbits.sum(axis=0)
@@ -74,8 +128,8 @@ def query_batch(matrix: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray):
     return counts, uniq_color, valid, and_all, all_valid
 
 
-@jax.jit
-def query_batch_compact(matrix: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray):
+@partial(jax.jit, static_argnames=("wpad",))
+def query_batch_compact(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray, *, wpad: int):
     """query_batch with device-side compaction of unique-hit k-mers.
 
     Host↔device traffic is the bottleneck when the device link is thin (and
@@ -91,12 +145,8 @@ def query_batch_compact(matrix: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarra
       and_all:    uint32 [W]
       all_valid:  bool []
     """
-    g = jnp.take(matrix, rows, axis=0)
-    present = (g != 0).any(axis=2).all(axis=1)
+    andw, present = _and_present(blocks2, rows, wpad)
     valid = present & mask
-    andw = g[:, 0, :]
-    for h in range(1, g.shape[1]):
-        andw = andw & g[:, h, :]
     bits = _unpack_bits(andw)
     vbits = bits * valid[:, None].astype(jnp.int32)
     counts = vbits.sum(axis=0)
@@ -122,15 +172,17 @@ def query_batch_compact(matrix: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarra
     return counts, n_uniq, uniq_idx, uniq_color, and_all, all_valid
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2))
+@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("wpad",))
 def query_accumulate(
     stats: jnp.ndarray,  # int32 [C' + W + 2]: counts ++ and_words ++ [ok, n_uniq]
     uniq_idx_buf: jnp.ndarray,  # int32 [cap]
     uniq_col_buf: jnp.ndarray,  # int32 [cap]
-    matrix: jnp.ndarray,
+    blocks2: jnp.ndarray,
     rows: jnp.ndarray,
     mask: jnp.ndarray,
     base_idx: jnp.ndarray,  # int32 [] global index of rows[0]
+    *,
+    wpad: int,
 ):
     """One batch of the streaming query, accumulated fully on device.
 
@@ -140,14 +192,10 @@ def query_accumulate(
     Buffers are donated: the update is in-place in HBM.
     """
     N = rows.shape[0]
-    W = matrix.shape[1]
+    W = wpad
     C = stats.shape[0] - W - 2
-    g = jnp.take(matrix, rows, axis=0)
-    present = (g != 0).any(axis=2).all(axis=1)
+    andw, present = _and_present(blocks2, rows, wpad)
     valid = present & mask
-    andw = g[:, 0, :]
-    for h in range(1, g.shape[1]):
-        andw = andw & g[:, h, :]
     bits = _unpack_bits(andw)[:, :C]
     vbits = bits * valid[:, None].astype(jnp.int32)
     counts = vbits.sum(axis=0)
@@ -186,9 +234,9 @@ def query_accumulate(
 PAD_POS = np.int32(2**30)  # kmer_pos for padding slots: never counted
 
 
-@partial(jax.jit, static_argnames=("num_reads", "start_sample", "num_colors"))
+@partial(jax.jit, static_argnames=("num_reads", "start_sample", "num_colors", "wpad"))
 def query_readid_batch(
-    matrix: jnp.ndarray,
+    blocks2: jnp.ndarray,
     rows: jnp.ndarray,
     seg_ids: jnp.ndarray,
     kmer_pos: jnp.ndarray,
@@ -196,6 +244,7 @@ def query_readid_batch(
     num_reads: int,
     start_sample: int,
     num_colors: int,
+    wpad: int,
 ):
     """Per-read hit-count matrix for the read classifier (read_id).
 
@@ -224,12 +273,8 @@ def query_readid_batch(
         no_hits pseudo-color.
     """
     n_reads = num_reads
-    g = jnp.take(matrix, rows, axis=0)  # [N, H, W]
-    present = (g != 0).any(axis=2)  # [N, H]
-    valid = present.all(axis=1)
-    andw = g[:, 0, :]
-    for h in range(1, g.shape[1]):
-        andw = andw & g[:, h, :]
+    andw, present_all = _and_present(blocks2, rows, wpad)
+    valid = present_all
     bits = _unpack_bits(andw)[:, :num_colors]  # [N, C]
 
     # first absent k-mer position per read (or +inf)

@@ -4,7 +4,7 @@ import jax
 import numpy as np
 import pytest
 
-from colorid_tpu.ops.query import query_batch
+from colorid_tpu.ops.query import pack_matrix_blocks, query_batch
 from colorid_tpu.parallel import sharded
 
 
@@ -26,8 +26,9 @@ def want(problem):
     matrix, rows, mask = problem
     import jax.numpy as jnp
 
+    blocks, wpad = pack_matrix_blocks(matrix)
     c, u, v, aa, av = query_batch(
-        jnp.asarray(matrix), jnp.asarray(rows), jnp.asarray(mask)
+        jnp.asarray(blocks), jnp.asarray(rows), jnp.asarray(mask), wpad=wpad
     )
     return (
         np.asarray(c),
