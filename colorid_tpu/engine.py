@@ -18,6 +18,7 @@ from . import native
 from .hashing.xxh3 import bloom_rows_batch
 from .index.bigsi import BigsiIndex
 from .ops.query import (
+    FREQ_CAP,
     PAD_POS,
     pack_matrix_blocks,
     query_accumulate,
@@ -34,9 +35,39 @@ def _round_up(n: int, m: int) -> int:
 @dataclass
 class SearchResult:
     counts: np.ndarray  # int64 [C] per-color hit counts
-    uniq_color: np.ndarray  # int32 [N] unique-hit color per k-mer or -1
     all_valid: bool  # every query k-mer had all rows present
     and_all: np.ndarray  # uint32 [W] global AND over k-mers
+    freq_hist: np.ndarray  # int64 [C, FREQ_CAP] uniq-hit freq histogram
+    over_colors: np.ndarray  # int32 [n_over] overflow colors
+    over_freqs: np.ndarray  # int32 [n_over] overflow freqs (>= FREQ_CAP)
+
+    def freq_stats(self) -> dict[int, tuple[float, int, int]]:
+        """Exact per-color (mean, mode, n) of the uniq-hit k-mer frequency
+        multiset (the reference's uniq_freqs, batch_search_pe.rs:75-83;
+        mean/mode per reports.rs:8-77, ties -> smallest value)."""
+        out: dict[int, tuple[float, int, int]] = {}
+        C = self.freq_hist.shape[0]
+        vals = np.arange(self.freq_hist.shape[1], dtype=np.int64)
+        for c in range(C):
+            h = self.freq_hist[c]
+            n = int(h.sum())
+            total = int((h * vals).sum())
+            occ: dict[int, int] = {}
+            nz = np.nonzero(h)[0]
+            for v in nz:
+                occ[int(v)] = int(h[v])
+            sel = self.over_colors == c
+            if sel.any():
+                for f in self.over_freqs[sel]:
+                    occ[int(f)] = occ.get(int(f), 0) + 1
+                    total += int(f)
+                    n += 1
+            if n == 0:
+                continue
+            best = max(occ.values())
+            modus = min(v for v, k in occ.items() if k == best)
+            out[c] = (total / n, modus, n)
+        return out
 
 
 class QueryEngine:
@@ -68,34 +99,41 @@ class QueryEngine:
     # -- search (batch_search_pe / perfect_search hot loop) ------------------
 
     def search_keys(
-        self, keys: np.ndarray, rows_all: np.ndarray | None = None
+        self,
+        keys: np.ndarray | None,
+        qcounts: np.ndarray | None = None,
+        rows_all: np.ndarray | None = None,
     ) -> SearchResult:
-        """Per-color counts + unique-hit colors for a set of k-mers.
+        """Per-color counts + uniq-hit coverage stats for a set of k-mers.
 
-        The whole query accumulates on device (donated stats + compacted
-        unique-hit buffers, ops/query.py::query_accumulate); the host fetches
-        once at the end. On a thin host↔device link per-batch readback would
-        otherwise dominate the hot loop."""
+        The whole query accumulates on device (donated stats + per-color
+        frequency histogram + compacted overflow list); the host fetches
+        once at the end, a few hundred KB regardless of query size."""
         n = keys.shape[0] if rows_all is None else rows_all.shape[0]
         C = self.index.n_colors
         W = self.index.words_per_row
         counts = np.zeros(C, dtype=np.int64)
-        uniq_color = np.full(n, -1, dtype=np.int32)
         and_all = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
+        empty_hist = np.zeros((C, FREQ_CAP), dtype=np.int64)
+        none = np.zeros(0, dtype=np.int32)
         if n == 0:
-            return SearchResult(counts, uniq_color, True, and_all)
+            return SearchResult(counts, True, and_all, empty_hist, none, none)
         if rows_all is None:
             rows_all = self.rows_for_keys(keys)
+        if qcounts is None:
+            qcounts = np.ones(n, dtype=np.int32)
+        qcounts = np.asarray(qcounts, dtype=np.int32)
         stats = jnp.concatenate(
             [
                 jnp.zeros(C, dtype=jnp.int32),
                 jnp.full(self.wpad, -1, dtype=jnp.int32),  # and-words
-                jnp.array([1, 0], dtype=jnp.int32),  # ok, n_uniq
+                jnp.array([1, 0], dtype=jnp.int32),  # ok, n_over
             ]
         )
-        cap = _round_up(n, 1024)
-        ui_buf = jnp.zeros(cap, dtype=jnp.int32)
-        uc_buf = jnp.zeros(cap, dtype=jnp.int32)
+        hist = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
+        capO = _round_up(n, 1024)
+        oc_buf = jnp.zeros(capO, dtype=jnp.int32)
+        of_buf = jnp.zeros(capO, dtype=jnp.int32)
         for start in range(0, n, self.chunk):
             stop = min(start + self.chunk, n)
             m = stop - start
@@ -104,27 +142,33 @@ class QueryEngine:
             rows[:m] = rows_all[start:stop]
             mask = np.zeros(size, dtype=bool)
             mask[:m] = True
-            stats, ui_buf, uc_buf = query_accumulate(
+            qc = np.zeros(size, dtype=np.int32)
+            qc[:m] = qcounts[start:stop]
+            stats, hist, oc_buf, of_buf = query_accumulate(
                 stats,
-                ui_buf,
-                uc_buf,
+                hist,
+                oc_buf,
+                of_buf,
                 self.blocks2,
                 jnp.asarray(rows),
                 jnp.asarray(mask),
-                jnp.int32(start),
+                jnp.asarray(qc),
                 wpad=self.wpad,
             )
         st = np.asarray(stats)
         counts += st[:C].astype(np.int64)
         and_all &= st[C : C + W].astype(np.uint32)
         all_valid = bool(st[C + self.wpad])
-        k = int(st[C + self.wpad + 1])
-        if k:
-            kp = min(_round_up(k, 1024), cap)
-            idx = np.asarray(ui_buf[:kp])[:k]
-            col = np.asarray(uc_buf[:kp])[:k]
-            uniq_color[idx] = col
-        return SearchResult(counts, uniq_color, all_valid, and_all)
+        n_over = int(st[C + self.wpad + 1])
+        hist_np = np.asarray(hist).astype(np.int64)
+        if n_over:
+            kp = min(_round_up(n_over, 1024), capO)
+            over_c = np.asarray(oc_buf[:kp])[:n_over]
+            over_f = np.asarray(of_buf[:kp])[:n_over]
+        else:
+            over_c = none
+            over_f = none
+        return SearchResult(counts, all_valid, and_all, hist_np, over_c, over_f)
 
     # -- read classifier (read_id hot loop) ----------------------------------
 

@@ -172,24 +172,30 @@ def query_batch_compact(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarr
     return counts, n_uniq, uniq_idx, uniq_color, and_all, all_valid
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("wpad",))
+FREQ_CAP = 1024  # per-color on-device frequency histogram width
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("wpad",))
 def query_accumulate(
-    stats: jnp.ndarray,  # int32 [C' + W + 2]: counts ++ and_words ++ [ok, n_uniq]
-    uniq_idx_buf: jnp.ndarray,  # int32 [cap]
-    uniq_col_buf: jnp.ndarray,  # int32 [cap]
+    stats: jnp.ndarray,  # int32 [C + wpad + 2]: counts ++ and_words ++ [ok, n_over]
+    hist: jnp.ndarray,  # int32 [C, FREQ_CAP] uniq-hit freq histogram
+    over_col: jnp.ndarray,  # int32 [capO] overflow (freq >= FREQ_CAP) colors
+    over_freq: jnp.ndarray,  # int32 [capO] overflow freqs
     blocks2: jnp.ndarray,
     rows: jnp.ndarray,
     mask: jnp.ndarray,
-    base_idx: jnp.ndarray,  # int32 [] global index of rows[0]
+    qcounts: jnp.ndarray,  # int32 [N] query k-mer frequencies
     *,
     wpad: int,
 ):
     """One batch of the streaming query, accumulated fully on device.
 
-    The caller keeps `stats` and the uniq buffers on device across the whole
-    query and fetches them once at the end — on a thin host↔device link the
-    per-batch readback would otherwise dominate (SURVEY §6 hot loop).
-    Buffers are donated: the update is in-place in HBM.
+    Everything the reference's per-k-mer loop produces (per-color hit
+    counts, the uniq_freqs coverage stats of batch_search_pe.rs:75-83, the
+    perfect-search global AND) accumulates in donated device buffers; the
+    host fetches once per query. Unique-hit k-mer frequencies land in a
+    [C, FREQ_CAP] histogram (exact mean/mode/count recovery) with a
+    compacted overflow list for freqs >= FREQ_CAP.
     """
     N = rows.shape[0]
     W = wpad
@@ -202,20 +208,26 @@ def query_accumulate(
     nhits = vbits.sum(axis=1)
     coloridx = jnp.argmax(vbits, axis=1).astype(jnp.int32)
     uniq_mask = valid & (nhits == 1)
-    n_new = uniq_mask.sum().astype(jnp.int32)
     masked = jnp.where(valid[:, None], andw, jnp.uint32(0xFFFFFFFF))
     and_b = jax.lax.reduce(
         masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, dimensions=(0,)
     )
     ok_b = (present | ~mask).all()
 
-    n_before = stats[C + W + 1]
-    cap = uniq_idx_buf.shape[0]
-    pos = jnp.cumsum(uniq_mask) - 1
-    to = jnp.where(uniq_mask, n_before + pos, cap)
-    idxs = jnp.arange(N, dtype=jnp.int32) + base_idx
-    uniq_idx_buf = uniq_idx_buf.at[to].set(idxs, mode="drop")
-    uniq_col_buf = uniq_col_buf.at[to].set(coloridx, mode="drop")
+    # uniq-hit frequency stats, on device
+    small = uniq_mask & (qcounts < FREQ_CAP)
+    hist_col = jnp.where(small, coloridx, C)
+    hist = hist.at[hist_col, jnp.clip(qcounts, 0, FREQ_CAP - 1)].add(
+        1, mode="drop"
+    )
+    big = uniq_mask & (qcounts >= FREQ_CAP)
+    n_over_before = stats[C + W + 1]
+    capO = over_col.shape[0]
+    pos = jnp.cumsum(big) - 1
+    to = jnp.where(big, n_over_before + pos, capO)
+    over_col = over_col.at[to].set(coloridx, mode="drop")
+    over_freq = over_freq.at[to].set(qcounts, mode="drop")
+    n_over_new = big.sum().astype(jnp.int32)
 
     new_counts = stats[:C] + counts
     new_and = (stats[C : C + W].astype(jnp.uint32) & and_b).astype(jnp.int32)
@@ -225,10 +237,10 @@ def query_accumulate(
             new_counts,
             new_and,
             new_ok[None],
-            (n_before + n_new)[None],
+            (n_over_before + n_over_new)[None],
         ]
     )
-    return stats, uniq_idx_buf, uniq_col_buf
+    return stats, hist, over_col, over_freq
 
 
 PAD_POS = np.int32(2**30)  # kmer_pos for padding slots: never counted

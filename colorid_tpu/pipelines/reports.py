@@ -22,20 +22,21 @@ def mode(numbers: list[float]) -> int:
 def generate_report(
     query: str,
     report: dict[str, int],
-    uniq_freqs: dict[str, list[float]],
+    uniq_stats: dict[str, tuple[float, int, int]],
     n_ref_kmers: dict[str, int],
     num_kmers: int,
     cov: float,
 ) -> list[str]:
     """reports.rs:8-48: TSV `query n_kmers hit shared mean_cov mode n_uniq`,
-    emitted when shared fraction (hits / n_ref_kmers[hit]) > cov."""
+    emitted when shared fraction (hits / n_ref_kmers[hit]) > cov.
+
+    uniq_stats maps hit -> (mean, mode, n) of its uniq-hit k-mer frequency
+    multiset (computed exactly on device, engine.SearchResult.freq_stats)."""
     lines = []
     for k, v in report.items():
-        freqs = uniq_freqs.get(k)
-        if freqs:
-            mean = sum(freqs) / len(freqs)
-            modus = mode(freqs)
-            specific = len(freqs)
+        stats = uniq_stats.get(k)
+        if stats:
+            mean, modus, specific = stats
         else:
             mean, modus, specific = 0.0, 0, 0
         n = n_ref_kmers.get(k)

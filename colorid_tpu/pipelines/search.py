@@ -108,19 +108,18 @@ def batch_search(
         )
         num_kmers = keys.shape[0]
         print(f"{num_kmers} k-mers in query", file=sys.stderr)
-        res = engine.search_keys(keys)
+        res = engine.search_keys(keys, qcounts=qcounts)
         report = {
             index.colors[c]: int(res.counts[c])
             for c in range(index.n_colors)
             if res.counts[c] > 0
         }
-        uniq_freqs: dict[str, list[float]] = {}
-        sel = res.uniq_color >= 0
-        for c, q in zip(res.uniq_color[sel], qcounts[sel]):
-            uniq_freqs.setdefault(index.colors[int(c)], []).append(float(q))
+        uniq_stats = {
+            index.colors[c]: s for c, s in res.freq_stats().items()
+        }
         if not gene_search:
             out_lines += generate_report(
-                file1, report, uniq_freqs, index.n_ref_kmers, num_kmers, cov
+                file1, report, uniq_stats, index.n_ref_kmers, num_kmers, cov
             )
         else:
             out_lines += generate_report_gene(file1, report, num_kmers, cov)

@@ -65,11 +65,14 @@ def test_engine_search_matches_oracle(phage_index):
     rng = np.random.default_rng(0)
     rand = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(500, K))
     all_keys = np.concatenate([keys, rand])
-    res = engine.search_keys(all_keys)
+    qcounts = np.concatenate(
+        [counts, rng.integers(1, 3000, 500)]
+    ).astype(np.int32)
+    res = engine.search_keys(all_keys, qcounts=qcounts)
 
-    # oracle: per-kmer row fetch + AND + per-color counting
+    # oracle: per-kmer row fetch + AND + per-color counting + uniq_freqs
     want_counts = np.zeros(index.n_colors, dtype=np.int64)
-    want_uniq = np.full(all_keys.shape[0], -1, dtype=np.int32)
+    uniq_freqs: dict[int, list[int]] = {}
     matrix = np.asarray(index.matrix)
     n_valid_all = True
     and_all = np.uint32(0xFFFFFFFF)
@@ -88,10 +91,20 @@ def test_engine_search_matches_oracle(phage_index):
         for c in hits:
             want_counts[c] += 1
         if len(hits) == 1:
-            want_uniq[i] = hits[0]
+            uniq_freqs.setdefault(hits[0], []).append(int(qcounts[i]))
     np.testing.assert_array_equal(res.counts, want_counts)
-    np.testing.assert_array_equal(res.uniq_color, want_uniq)
     assert res.all_valid == n_valid_all
+    got_stats = res.freq_stats()
+    assert set(got_stats) == set(uniq_freqs)
+    from collections import Counter
+
+    for c, freqs in uniq_freqs.items():
+        mean, modus, nn = got_stats[c]
+        assert nn == len(freqs)
+        assert abs(mean - sum(freqs) / len(freqs)) < 1e-9
+        occ = Counter(freqs)
+        best = max(occ.values())
+        assert modus == min(v for v, k in occ.items() if k == best)
 
 
 def test_perfect_search_self_hit(phage_index):
