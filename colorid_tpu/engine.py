@@ -22,6 +22,7 @@ from .ops.query import (
     PAD_POS,
     pack_matrix_blocks,
     query_accumulate,
+    query_accumulate_scan,
     query_batch,
     query_batch_compact,
     query_readid_batch,
@@ -134,17 +135,21 @@ class QueryEngine:
         capO = _round_up(n, 1024)
         oc_buf = jnp.zeros(capO, dtype=jnp.int32)
         of_buf = jnp.zeros(capO, dtype=jnp.int32)
-        for start in range(0, n, self.chunk):
-            stop = min(start + self.chunk, n)
+        # one device call per segment; a segment scans fixed-size chunks
+        chunk = min(self.chunk, 1 << 20)
+        seg = chunk * 8
+        for start in range(0, n, seg):
+            stop = min(start + seg, n)
             m = stop - start
-            size = self.chunk if n > self.chunk else _round_up(m, 1024)
+            size = _round_up(m, chunk) if m > chunk else _round_up(m, 16384)
+            csize = chunk if m > chunk else size
             rows = np.zeros((size, self.index.num_hash), dtype=np.int32)
             rows[:m] = rows_all[start:stop]
             mask = np.zeros(size, dtype=bool)
             mask[:m] = True
             qc = np.zeros(size, dtype=np.int32)
             qc[:m] = qcounts[start:stop]
-            stats, hist, oc_buf, of_buf = query_accumulate(
+            stats, hist, oc_buf, of_buf = query_accumulate_scan(
                 stats,
                 hist,
                 oc_buf,
@@ -154,6 +159,7 @@ class QueryEngine:
                 jnp.asarray(mask),
                 jnp.asarray(qc),
                 wpad=self.wpad,
+                chunk=csize,
             )
         st = np.asarray(stats)
         counts += st[:C].astype(np.int64)

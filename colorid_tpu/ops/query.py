@@ -197,6 +197,14 @@ def query_accumulate(
     [C, FREQ_CAP] histogram (exact mean/mode/count recovery) with a
     compacted overflow list for freqs >= FREQ_CAP.
     """
+    return _accumulate_one(
+        stats, hist, over_col, over_freq, blocks2, rows, mask, qcounts, wpad
+    )
+
+
+def _accumulate_one(
+    stats, hist, over_col, over_freq, blocks2, rows, mask, qcounts, wpad
+):
     N = rows.shape[0]
     W = wpad
     C = stats.shape[0] - W - 2
@@ -239,6 +247,44 @@ def query_accumulate(
             new_ok[None],
             (n_over_before + n_over_new)[None],
         ]
+    )
+    return stats, hist, over_col, over_freq
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("wpad", "chunk"))
+def query_accumulate_scan(
+    stats: jnp.ndarray,
+    hist: jnp.ndarray,
+    over_col: jnp.ndarray,
+    over_freq: jnp.ndarray,
+    blocks2: jnp.ndarray,
+    rows: jnp.ndarray,  # int32 [n_pad, H], n_pad % chunk == 0
+    mask: jnp.ndarray,  # bool [n_pad]
+    qcounts: jnp.ndarray,  # int32 [n_pad]
+    *,
+    wpad: int,
+    chunk: int,
+):
+    """Whole-query accumulation in ONE device call: an internal lax.scan
+    walks fixed-size chunks so arbitrarily large k-mer batches cost a single
+    dispatch + H2D (dispatch latency and per-call transfer setup dominate on
+    a thin host link)."""
+    n = rows.shape[0]
+    n_chunks = n // chunk
+    rows_c = rows.reshape(n_chunks, chunk, rows.shape[1])
+    mask_c = mask.reshape(n_chunks, chunk)
+    qc_c = qcounts.reshape(n_chunks, chunk)
+
+    def step(carry, xs):
+        stats, hist, over_col, over_freq = carry
+        r, m, q = xs
+        stats, hist, over_col, over_freq = _accumulate_one(
+            stats, hist, over_col, over_freq, blocks2, r, m, q, wpad
+        )
+        return (stats, hist, over_col, over_freq), 0
+
+    (stats, hist, over_col, over_freq), _ = jax.lax.scan(
+        step, (stats, hist, over_col, over_freq), (rows_c, mask_c, qc_c)
     )
     return stats, hist, over_col, over_freq
 

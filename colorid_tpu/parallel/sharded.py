@@ -16,7 +16,9 @@ threads map to these):
   bitwise-AND all_gather-reduce over the mesh. This is the memory-scaling
   layout when one device cannot hold the matrix.
 
-All three compose in one mesh ("data" x "color"|"row").
+All three compose in one mesh ("data" x "color"|"row"). Per-shard matrices
+are pre-packed into the 128-lane block layout the fast gather needs
+(ops/query.py::pack_matrix_blocks).
 """
 
 from __future__ import annotations
@@ -28,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.query import _unpack_bits
+from ..ops.query import _gather_rows, _unpack_bits, pack_matrix_blocks
 
 
 def make_mesh(n_data: int, n_model: int, model_axis: str) -> Mesh:
@@ -36,35 +38,47 @@ def make_mesh(n_data: int, n_model: int, model_axis: str) -> Mesh:
     return Mesh(devs, ("data", model_axis))
 
 
-def pad_matrix_colors(matrix: np.ndarray, n_shards: int) -> np.ndarray:
-    """Pad the packed color-word axis so it divides evenly across shards."""
+def device_put_colorshard(matrix: np.ndarray, mesh: Mesh):
+    """Split the color-word axis across shards; pack each shard for the
+    block gather. Returns (blocks [n_shards, nb, 128] sharded, wpad)."""
+    n = mesh.shape["color"]
     R, W = matrix.shape
-    Wp = ((W + n_shards - 1) // n_shards) * n_shards
-    if Wp == W:
-        return matrix
-    out = np.zeros((R, Wp), dtype=matrix.dtype)
-    out[:, :W] = matrix
-    return out
+    Wl = -(-W // n)
+    wpad = 1 << (max(Wl, 1) - 1).bit_length()
+    shards = []
+    for i in range(n):
+        sl = np.zeros((R, Wl), dtype=np.uint32)
+        lo = i * Wl
+        hi = min(W, (i + 1) * Wl)
+        if hi > lo:
+            sl[:, : hi - lo] = matrix[:, lo:hi]
+        b, wp = pack_matrix_blocks(sl)
+        assert wp == wpad
+        shards.append(b)
+    stacked = np.stack(shards, axis=0)
+    arr = jax.device_put(stacked, NamedSharding(mesh, P("color", None, None)))
+    return arr, wpad, Wl
 
 
-def pad_matrix_rows(matrix: np.ndarray, n_shards: int) -> np.ndarray:
+def device_put_rowshard(matrix: np.ndarray, mesh: Mesh):
+    """Split the Bloom-row axis across shards; pack each shard. Returns
+    (blocks [n_shards, nb, 128] sharded, wpad, rows_per_shard)."""
+    n = mesh.shape["row"]
     R, W = matrix.shape
-    Rp = ((R + n_shards - 1) // n_shards) * n_shards
-    if Rp == R:
-        return matrix
-    out = np.zeros((Rp, W), dtype=matrix.dtype)
-    out[:R] = matrix
-    return out
-
-
-def device_put_colorshard(matrix: np.ndarray, mesh: Mesh) -> jax.Array:
-    m = pad_matrix_colors(matrix, mesh.shape["color"])
-    return jax.device_put(m, NamedSharding(mesh, P(None, "color")))
-
-
-def device_put_rowshard(matrix: np.ndarray, mesh: Mesh) -> jax.Array:
-    m = pad_matrix_rows(matrix, mesh.shape["row"])
-    return jax.device_put(m, NamedSharding(mesh, P("row", None)))
+    Rl = -(-R // n)
+    wpad = 1 << (max(W, 1) - 1).bit_length()
+    shards = []
+    for i in range(n):
+        sl = np.zeros((Rl, W), dtype=np.uint32)
+        lo = i * Rl
+        hi = min(R, (i + 1) * Rl)
+        sl[: hi - lo] = matrix[lo:hi]
+        b, wp = pack_matrix_blocks(sl)
+        assert wp == wpad
+        shards.append(b)
+    stacked = np.stack(shards, axis=0)
+    arr = jax.device_put(stacked, NamedSharding(mesh, P("row", None, None)))
+    return arr, wpad, Rl
 
 
 # ---------------------------------------------------------------------------
@@ -72,10 +86,9 @@ def device_put_rowshard(matrix: np.ndarray, mesh: Mesh) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _colorshard_body(mat, rows, mask):
-    """Per-device body. mat: [R, Wl]; rows: [Nl, H]; mask: [Nl]."""
-    g = jnp.take(mat, rows, axis=0)  # [Nl, H, Wl]
-    # presence must consider ALL color shards: OR across 'color'
+def _colorshard_body(wpad, Wl, mat, rows, mask):
+    """Per-device body. mat: [1, nb, 128]; rows: [Nl, H]; mask: [Nl]."""
+    g = _gather_rows(mat[0], rows, wpad)[:, :, :Wl]  # [Nl, H, Wl]
     present_local = (g != 0).any(axis=2)  # [Nl, H]
     present = (
         jax.lax.psum(present_local.astype(jnp.int32), "color") > 0
@@ -96,7 +109,6 @@ def _colorshard_body(mat, rows, mask):
     cand = jnp.where(has_local, coloridx_l, -1)
     coloridx = jax.lax.pmax(cand, "color")
     uniq = jnp.where(valid & (nhits == 1), coloridx, -1)
-    # perfect-search global AND (within my color slice, over all kmers)
     masked = jnp.where(valid[:, None], andw, jnp.uint32(0xFFFFFFFF))
     and_local = jax.lax.reduce(
         masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, dimensions=(0,)
@@ -110,13 +122,14 @@ def _colorshard_body(mat, rows, mask):
     return counts, uniq, valid, and_all, all_valid
 
 
-@partial(jax.jit, static_argnames=("mesh",))
-def query_batch_colorshard(matrix, rows, mask, *, mesh):
-    """Same contract as ops.query.query_batch, on a ("data","color") mesh."""
+@partial(jax.jit, static_argnames=("mesh", "wpad", "Wl"))
+def query_batch_colorshard(matrix, rows, mask, *, mesh, wpad, Wl):
+    """Same contract as ops.query.query_batch on a ("data","color") mesh;
+    counts/and_all are concatenated over color shards (width n*Wl words)."""
     f = jax.shard_map(
-        _colorshard_body,
+        partial(_colorshard_body, wpad, Wl),
         mesh=mesh,
-        in_specs=(P(None, "color"), P("data", None), P("data")),
+        in_specs=(P("color", None, None), P("data", None), P("data")),
         out_specs=(
             P("color"),  # counts concat over color shards
             P("data"),  # uniq per kmer
@@ -134,18 +147,16 @@ def query_batch_colorshard(matrix, rows, mask, *, mesh):
 # ---------------------------------------------------------------------------
 
 
-def _rowshard_body(mat, rows, mask):
-    """mat: [Rl, W] (this device owns rows [lo, lo+Rl)); rows: [Nl, H]."""
-    Rl = mat.shape[0]
+def _rowshard_body(wpad, Rl, W, mat, rows, mask):
+    """mat: [1, nb, 128] covering rows [lo, lo+Rl); rows: [Nl, H]."""
     lo = jax.lax.axis_index("row") * Rl
     local = rows - lo
     owned = (local >= 0) & (local < Rl)
     safe = jnp.clip(local, 0, Rl - 1)
-    g = jnp.take(mat, safe, axis=0)  # [Nl, H, W]
+    g = _gather_rows(mat[0], safe, wpad)[:, :, :W]  # [Nl, H, W]
     ones = jnp.uint32(0xFFFFFFFF)
     g = jnp.where(owned[:, :, None], g, ones)  # neutral for AND
     present_or_neutral = jnp.where(owned, (g != 0).any(axis=2), True)
-    # combine across row shards: AND of partial ANDs / presence
     andw = g[:, 0, :]
     for h in range(1, g.shape[1]):
         andw = andw & g[:, h, :]
@@ -171,13 +182,13 @@ def _rowshard_body(mat, rows, mask):
     return counts, uniq, valid, and_all, all_valid
 
 
-@partial(jax.jit, static_argnames=("mesh",))
-def query_batch_rowshard(matrix, rows, mask, *, mesh):
-    """Same contract as ops.query.query_batch, on a ("data","row") mesh."""
+@partial(jax.jit, static_argnames=("mesh", "wpad", "Rl", "W"))
+def query_batch_rowshard(matrix, rows, mask, *, mesh, wpad, Rl, W):
+    """Same contract as ops.query.query_batch on a ("data","row") mesh."""
     f = jax.shard_map(
-        _rowshard_body,
+        partial(_rowshard_body, wpad, Rl, W),
         mesh=mesh,
-        in_specs=(P("row", None), P("data", None), P("data")),
+        in_specs=(P("row", None, None), P("data", None), P("data")),
         out_specs=(P(), P("data"), P("data"), P(), P()),
         check_vma=False,
     )

@@ -45,13 +45,18 @@ def test_colorshard_matches(problem, want, nd, nm):
         pytest.skip("not enough devices")
     matrix, rows, mask = problem
     mesh = sharded.make_mesh(nd, nm, "color")
-    mat = sharded.device_put_colorshard(matrix, mesh)
-    c, u, v, aa, av = sharded.query_batch_colorshard(mat, rows, mask, mesh=mesh)
+    mat, wpad, Wl = sharded.device_put_colorshard(matrix, mesh)
+    c, u, v, aa, av = sharded.query_batch_colorshard(
+        mat, rows, mask, mesh=mesh, wpad=wpad, Wl=Wl
+    )
     C = matrix.shape[1] * 32
-    np.testing.assert_array_equal(np.asarray(c)[:C], want[0])
+    # counts come back per color shard of Wl words: reassemble
+    cc = np.asarray(c).reshape(nm, -1)[:, : Wl * 32].reshape(-1)[:C]
+    np.testing.assert_array_equal(cc, want[0][:C])
     np.testing.assert_array_equal(np.asarray(u), want[1])
     np.testing.assert_array_equal(np.asarray(v), want[2])
-    np.testing.assert_array_equal(np.asarray(aa)[: matrix.shape[1]], want[3])
+    aw = np.asarray(aa).reshape(nm, -1)[:, :Wl].reshape(-1)[: matrix.shape[1]]
+    np.testing.assert_array_equal(aw, want[3])
     assert bool(av) == want[4]
 
 
@@ -61,9 +66,11 @@ def test_rowshard_matches(problem, want, nd, nm):
         pytest.skip("not enough devices")
     matrix, rows, mask = problem
     mesh = sharded.make_mesh(nd, nm, "row")
-    mat = sharded.device_put_rowshard(matrix, mesh)
-    c, u, v, aa, av = sharded.query_batch_rowshard(mat, rows, mask, mesh=mesh)
-    np.testing.assert_array_equal(np.asarray(c), want[0])
+    mat, wpad, Rl = sharded.device_put_rowshard(matrix, mesh)
+    c, u, v, aa, av = sharded.query_batch_rowshard(
+        mat, rows, mask, mesh=mesh, wpad=wpad, Rl=Rl, W=matrix.shape[1]
+    )
+    np.testing.assert_array_equal(np.asarray(c)[: want[0].shape[0]], want[0])
     np.testing.assert_array_equal(np.asarray(u), want[1])
     np.testing.assert_array_equal(np.asarray(v), want[2])
     np.testing.assert_array_equal(np.asarray(aa), want[3])
