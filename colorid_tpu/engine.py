@@ -17,9 +17,11 @@ import numpy as np
 from . import native
 from .hashing.xxh3 import bloom_rows_batch
 from .index.bigsi import BigsiIndex
+from .ops.hash_jax import pack_keys_host
 from .ops.query import (
     FREQ_CAP,
     PAD_POS,
+    query_accumulate_hash_scan,
     pack_matrix_blocks,
     query_accumulate,
     query_accumulate_scan,
@@ -119,8 +121,13 @@ class QueryEngine:
         none = np.zeros(0, dtype=np.int32)
         if n == 0:
             return SearchResult(counts, True, and_all, empty_hist, none, none)
+        packed_all = None
         if rows_all is None:
-            rows_all = self.rows_for_keys(keys)
+            width = keys.shape[1]
+            if 4 <= width <= 32 and self.index.bloom_size < 2**30:
+                packed_all = pack_keys_host(keys)
+            if packed_all is None:
+                rows_all = self.rows_for_keys(keys)
         if qcounts is None:
             qcounts = np.ones(n, dtype=np.int32)
         qcounts = np.asarray(qcounts, dtype=np.int32)
@@ -143,12 +150,33 @@ class QueryEngine:
             m = stop - start
             size = _round_up(m, chunk) if m > chunk else _round_up(m, 16384)
             csize = chunk if m > chunk else size
+            qc = np.zeros(size, dtype=np.int32)
+            qc[:m] = np.maximum(qcounts[start:stop], 1)
+            if packed_all is not None:
+                pk = np.zeros((size, 2), dtype=np.uint32)
+                pk[:m] = packed_all[start:stop]
+                qc[m:] = 0  # padding marker
+                stats, hist, oc_buf, of_buf = query_accumulate_hash_scan(
+                    stats,
+                    hist,
+                    oc_buf,
+                    of_buf,
+                    self.blocks2,
+                    jnp.asarray(pk),
+                    jnp.asarray(qc),
+                    wpad=self.wpad,
+                    chunk=csize,
+                    k=keys.shape[1],
+                    num_hash=self.index.num_hash,
+                    bloom_size=self.index.bloom_size,
+                )
+                continue
             rows = np.zeros((size, self.index.num_hash), dtype=np.int32)
             rows[:m] = rows_all[start:stop]
             mask = np.zeros(size, dtype=bool)
             mask[:m] = True
-            qc = np.zeros(size, dtype=np.int32)
-            qc[:m] = qcounts[start:stop]
+            qc2 = np.zeros(size, dtype=np.int32)
+            qc2[:m] = qcounts[start:stop]
             stats, hist, oc_buf, of_buf = query_accumulate_scan(
                 stats,
                 hist,
@@ -157,7 +185,7 @@ class QueryEngine:
                 self.blocks2,
                 jnp.asarray(rows),
                 jnp.asarray(mask),
-                jnp.asarray(qc),
+                jnp.asarray(qc2),
                 wpad=self.wpad,
                 chunk=csize,
             )

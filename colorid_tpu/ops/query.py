@@ -289,6 +289,61 @@ def query_accumulate_scan(
     return stats, hist, over_col, over_freq
 
 
+@partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2, 3),
+    static_argnames=("wpad", "chunk", "k", "num_hash", "bloom_size"),
+)
+def query_accumulate_hash_scan(
+    stats: jnp.ndarray,
+    hist: jnp.ndarray,
+    over_col: jnp.ndarray,
+    over_freq: jnp.ndarray,
+    blocks2: jnp.ndarray,
+    packed: jnp.ndarray,  # uint32 [n_pad, 2] 2-bit packed canonical k-mers
+    qcounts: jnp.ndarray,  # int32 [n_pad]; 0 marks padding
+    *,
+    wpad: int,
+    chunk: int,
+    k: int,
+    num_hash: int,
+    bloom_size: int,
+):
+    """Fully fused streaming query: device-side XXH3 (ops/hash_jax.py) +
+    gather/AND/count accumulation, one dispatch per segment. The host ships
+    only 12 bytes per k-mer (8B packed k-mer + 4B frequency)."""
+    from .hash_jax import _limbs_from_packed, _mod_horner, _xxh3_device
+
+    n = packed.shape[0]
+    n_chunks = n // chunk
+    p_c = packed.reshape(n_chunks, chunk, 2)
+    qc_c = qcounts.reshape(n_chunks, chunk)
+
+    def step(carry, xs):
+        stats, hist, over_col, over_freq = carry
+        p, q = xs
+        limbs = _limbs_from_packed(p[:, 0], p[:, 1], k)
+        rows = jnp.stack(
+            [
+                _mod_horner(_xxh3_device(limbs, k, seed), bloom_size).astype(
+                    jnp.int32
+                )
+                for seed in range(num_hash)
+            ],
+            axis=1,
+        )
+        mask = q > 0
+        stats, hist, over_col, over_freq = _accumulate_one(
+            stats, hist, over_col, over_freq, blocks2, rows, mask, q, wpad
+        )
+        return (stats, hist, over_col, over_freq), 0
+
+    (stats, hist, over_col, over_freq), _ = jax.lax.scan(
+        step, (stats, hist, over_col, over_freq), (p_c, qc_c)
+    )
+    return stats, hist, over_col, over_freq
+
+
 PAD_POS = np.int32(2**30)  # kmer_pos for padding slots: never counted
 
 

@@ -1,0 +1,24 @@
+"""Device XXH3 vs the validated numpy implementation."""
+
+import numpy as np
+import pytest
+
+from colorid_tpu.hashing.xxh3 import bloom_rows_batch, xxh3_64_batch
+from colorid_tpu.ops.hash_jax import bloom_rows_device, pack_keys_host
+
+
+@pytest.mark.parametrize("k", [4, 5, 8, 9, 15, 16, 17, 21, 27, 31, 32])
+def test_device_rows_match(k):
+    rng = np.random.default_rng(k)
+    keys = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(500, k))
+    packed = pack_keys_host(keys)
+    assert packed is not None
+    for bloom in [750_000, 50_000_000, (1 << 30) - 1]:
+        want = bloom_rows_batch(keys, 4, bloom).astype(np.int32)
+        got = np.asarray(bloom_rows_device(packed, k=k, num_hash=4, bloom_size=bloom))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_pack_rejects_non_acgt():
+    assert pack_keys_host(np.frombuffer(b"ACGN", dtype=np.uint8)[None]) is None
+    assert pack_keys_host(np.frombuffer(b"acgt", dtype=np.uint8)[None]) is None
