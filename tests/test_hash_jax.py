@@ -13,7 +13,8 @@ def test_device_rows_match(k):
     keys = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(500, k))
     packed = pack_keys_host(keys)
     assert packed is not None
-    for bloom in [750_000, 50_000_000, (1 << 30) - 1]:
+    blooms = [750_000, 50_000_000, (1 << 30) - 1] if k == 27 else [750_000]
+    for bloom in blooms:
         want = bloom_rows_batch(keys, 4, bloom).astype(np.int32)
         got = np.asarray(bloom_rows_device(packed, k=k, num_hash=4, bloom_size=bloom))
         np.testing.assert_array_equal(got, want)
