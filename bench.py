@@ -72,7 +72,8 @@ def make_query_kmers(index):
     cache = os.path.join(CACHE, "query_kmers.npz")
     if os.path.exists(cache):
         z = np.load(cache)
-        return z["keys"], z["qcounts"]
+        if "packed" in z:
+            return z["keys"], z["qcounts"], z["packed"]
     rng = np.random.default_rng(42)
     genomes = []
     for d in (REFS1, REFS2):
@@ -94,8 +95,9 @@ def make_query_kmers(index):
             read = read.encode().translate(comp)[::-1].decode()
         nc.add(to_bytes(read))
     keys, qcounts = nc.dump(1)  # -f 1 style frequency filter
-    np.savez(cache, keys=keys, qcounts=qcounts)
-    return keys, qcounts
+    packed, _ = nc.dump_packed(1)
+    np.savez(cache, keys=keys, qcounts=qcounts, packed=packed)
+    return keys, qcounts, packed
 
 
 def main():
@@ -105,24 +107,23 @@ def main():
 
     t0 = time.time()
     index = build_or_load_index()
-    keys, qcounts = make_query_kmers(index)
+    keys, qcounts, packed = make_query_kmers(index)
     qcounts = qcounts.astype(np.int32)
     log(f"query: {keys.shape[0]} filtered k-mers")
     engine = QueryEngine(index, chunk=1 << 21)
     # warm the device link (first D2H on the axon tunnel is pathological)
     np.asarray(jax.device_put(np.ones(8, np.int32)))
-    log("hashing query k-mers (host, native xxh3)")
-    t0 = time.time()
-    rows = engine.rows_for_keys(keys)
-    hash_dt = time.time() - t0
-    log(f"hashing: {hash_dt:.2f}s ({keys.shape[0] / hash_dt / 1e6:.1f} M kmers/s)")
-    # timed span: the search hot loop (rows -> counts/uniq stats), matching
-    # the reference's "Search: {} sec" span which also excludes counting.
-    res = engine.search_keys(keys, qcounts=qcounts, rows_all=rows)  # warm/compile
+    # timed span: the search hot loop (device XXH3 + gather/AND/count +
+    # uniq-freq stats), matching the reference's "Search: {} sec" span
+    # (which also includes per-k-mer hashing but excludes counting).
+    def run():
+        return engine.search_keys(None, qcounts=qcounts, packed_all=packed, k=K)
+
+    res = run()  # warm/compile
     best = float("inf")
     for trial in range(3):
         t0 = time.time()
-        res = engine.search_keys(keys, qcounts=qcounts, rows_all=rows)
+        res = run()
         dt = time.time() - t0
         log(f"trial {trial}: {dt:.3f}s -> {keys.shape[0] / dt / 1e6:.2f} M kmers/s")
         best = min(best, dt)

@@ -106,13 +106,24 @@ class QueryEngine:
         keys: np.ndarray | None,
         qcounts: np.ndarray | None = None,
         rows_all: np.ndarray | None = None,
+        packed_all: np.ndarray | None = None,
+        k: int | None = None,
     ) -> SearchResult:
         """Per-color counts + uniq-hit coverage stats for a set of k-mers.
 
-        The whole query accumulates on device (donated stats + per-color
-        frequency histogram + compacted overflow list); the host fetches
-        once at the end, a few hundred KB regardless of query size."""
-        n = keys.shape[0] if rows_all is None else rows_all.shape[0]
+        Inputs, most to least preferred: ``packed_all`` [N, 2] uint32 2-bit
+        packed k-mers (+ static k) hash on device; ``keys`` ASCII rows pack
+        host-side when eligible; ``rows_all`` precomputed row indices skip
+        hashing entirely. The whole query accumulates on device (donated
+        stats + per-color frequency histogram + compacted overflow list);
+        the host fetches once at the end, a few hundred KB regardless of
+        query size."""
+        if packed_all is not None:
+            n = packed_all.shape[0]
+        elif rows_all is not None:
+            n = rows_all.shape[0]
+        else:
+            n = keys.shape[0]
         C = self.index.n_colors
         W = self.index.words_per_row
         counts = np.zeros(C, dtype=np.int64)
@@ -121,10 +132,9 @@ class QueryEngine:
         none = np.zeros(0, dtype=np.int32)
         if n == 0:
             return SearchResult(counts, True, and_all, empty_hist, none, none)
-        packed_all = None
-        if rows_all is None:
-            width = keys.shape[1]
-            if 4 <= width <= 32 and self.index.bloom_size < 2**30:
+        if packed_all is None and rows_all is None:
+            k = keys.shape[1]
+            if 4 <= k <= 32 and self.index.bloom_size < 2**30:
                 packed_all = pack_keys_host(keys)
             if packed_all is None:
                 rows_all = self.rows_for_keys(keys)
@@ -166,7 +176,7 @@ class QueryEngine:
                     jnp.asarray(qc),
                     wpad=self.wpad,
                     chunk=csize,
-                    k=keys.shape[1],
+                    k=k,
                     num_hash=self.index.num_hash,
                     bloom_size=self.index.bloom_size,
                 )

@@ -80,6 +80,10 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ct_counter_dump_packed.restype = ctypes.c_int64
+        lib.ct_counter_dump_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.ct_count_fastq.restype = ctypes.c_void_p
         lib.ct_count_fastq.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
@@ -157,6 +161,20 @@ class NativeCounter:
             self._h, t, self.width, keys.ctypes.data, counts.ctypes.data
         )
         return keys[:u], counts[:u]
+
+    def dump_packed(self, t: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Entries with count > t as (lo, hi) uint32 pairs [U, 2] of the
+        2-bit packed canonical k-mer (device-hash input) + counts."""
+        n = self.unique()
+        keys = np.empty(n, dtype=np.uint64)
+        counts = np.empty(n, dtype=np.int64)
+        u = self._lib.ct_counter_dump_packed(
+            self._h, t, keys.ctypes.data, counts.ctypes.data
+        )
+        pairs = np.empty((u, 2), dtype=np.uint32)
+        pairs[:, 0] = (keys[:u] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        pairs[:, 1] = (keys[:u] >> np.uint64(32)).astype(np.uint32)
+        return pairs, counts[:u]
 
     def close(self) -> None:
         if self._h:

@@ -482,3 +482,17 @@ extern "C" int64_t ct_read_sets(
     if (total > cap) return -1 - total; // caller re-allocates and retries
     return total;
 }
+
+extern "C" int64_t ct_counter_dump_packed(void* h, int64_t t,
+                                          uint64_t* keys_out, int64_t* counts_out) {
+    // dump entries with count > t as raw 2-bit packed u64 keys
+    Counter* c = (Counter*)h;
+    int64_t j = 0;
+    for (size_t i = 0; i < c->keys.size(); i++) {
+        if (!c->counts[i] || (int64_t)c->counts[i] <= t) continue;
+        keys_out[j] = c->keys[i];
+        counts_out[j] = c->counts[i];
+        j++;
+    }
+    return j;
+}
