@@ -60,11 +60,13 @@ def _build(args: argparse.Namespace) -> None:
         index.save(path)
 
 
-def _load_engine(path: str):
+def _load_engine(path: str, high_mem: bool = False):
     from .engine import QueryEngine
     from .index.bigsi import BigsiIndex
 
-    index = BigsiIndex.load(path)
+    # -H loads the whole file into RAM (faster queries, ~2x RAM — the
+    # reference's read_bigsi_highmem, bigsi.rs:65-68); default memory-maps.
+    index = BigsiIndex.load(path, mmap=not high_mem)
     return QueryEngine(index)
 
 
@@ -117,7 +119,7 @@ def _read_id(args: argparse.Namespace) -> None:
     from .pipelines.read_id import read_id
 
     t0 = time.time()
-    engine = _load_engine(args.bigsi)
+    engine = _load_engine(args.bigsi, args.high_mem_load)
     print(f"Index loaded in {int(time.time() - t0)} seconds", file=sys.stderr)
     fp_correct = 10.0 ** (-args.fp_correct)
     read_id(
@@ -137,7 +139,7 @@ def _batch_id(args: argparse.Namespace) -> None:
     from .pipelines.read_id import read_id
 
     samples = tab_to_map(args.query)
-    engine = _load_engine(args.bigsi)
+    engine = _load_engine(args.bigsi, args.high_mem_load)
     fp_correct = 10.0 ** (-args.fp_correct)
     for accession, files in samples.items():
         print(f"Classifying {accession}", file=sys.stderr)
