@@ -281,7 +281,9 @@ def _bswap64(a):
 
 
 def _mod_horner(h, m: int):
-    """(hi*2^32 + lo) mod m for m < 2^30, via 2-bit Horner digits."""
+    """(hi*2^32 + lo) mod m for m < 2^30, via 2-bit Horner digits.
+
+    Reference implementation; _mod_barrett is the fast path."""
     lo, hi = h
     mm = np.uint32(m)
     r = jnp.zeros_like(lo)
@@ -292,6 +294,49 @@ def _mod_horner(h, m: int):
             r = r - mm * (r >= mm).astype(U32)
             r = r - mm * (r >= mm).astype(U32)
             r = r - mm * (r >= mm).astype(U32)
+    return r
+
+
+def _mul64_full(a, b_const: tuple[np.uint32, np.uint32]):
+    """Full 128-bit product limbs (w0..w3) of a 64-bit array x constant."""
+    alo, ahi = a
+    blo = jnp.full_like(alo, b_const[0])
+    bhi = jnp.full_like(ahi, b_const[1])
+    p0l, p0h = _mul32(alo, blo)
+    p1l, p1h = _mul32(alo, bhi)
+    p2l, p2h = _mul32(ahi, blo)
+    p3l, p3h = _mul32(ahi, bhi)
+    w0 = p0l
+    s1 = p0h + p1l
+    c1 = (s1 < p0h).astype(U32)
+    w1 = s1 + p2l
+    c1 = c1 + (w1 < s1).astype(U32)
+    s2 = p1h + p2h
+    c2 = (s2 < p1h).astype(U32)
+    s2b = s2 + p3l
+    c2 = c2 + (s2b < s2).astype(U32)
+    w2 = s2b + c1
+    c2 = c2 + (w2 < s2b).astype(U32)
+    w3 = p3h + c2
+    return w0, w1, w2, w3
+
+
+def _mod_barrett(h, m: int):
+    """h mod m for m < 2^30 via Barrett reduction with R = floor(2^63/m):
+    q = (h*R) >> 63 underestimates h/m by < 2, so r = h - q*m < 4m < 2^32
+    fits uint32 and needs at most 3 conditional subtracts."""
+    R = (1 << 63) // m
+    w0, w1, w2, w3 = _mul64_full(h, _c(R))
+    # q = product >> 63 (take bits 63.. of the 128-bit product)
+    q_lo = (w1 >> U32(31)) | (w2 << U32(1))
+    q_hi = (w2 >> U32(31)) | (w3 << U32(1))
+    # r = h - q*m (low 64 bits); r < 4m < 2^32 so the low limb suffices
+    qm = _mul64_fold_low((q_lo, q_hi), _c(m))
+    r = h[0] - qm[0]
+    mm = np.uint32(m)
+    r = r - mm * (r >= mm).astype(U32)
+    r = r - mm * (r >= mm).astype(U32)
+    r = r - mm * (r >= mm).astype(U32)
     return r
 
 
@@ -306,7 +351,7 @@ def bloom_rows_device(
     outs = []
     for seed in range(num_hash):
         h = _xxh3_device(limbs, k, seed)
-        outs.append(_mod_horner(h, bloom_size).astype(jnp.int32))
+        outs.append(_mod_barrett(h, bloom_size).astype(jnp.int32))
     return jnp.stack(outs, axis=1)
 
 

@@ -312,7 +312,7 @@ def query_accumulate_hash_scan(
     """Fully fused streaming query: device-side XXH3 (ops/hash_jax.py) +
     gather/AND/count accumulation, one dispatch per segment. The host ships
     only 12 bytes per k-mer (8B packed k-mer + 4B frequency)."""
-    from .hash_jax import _limbs_from_packed, _mod_horner, _xxh3_device
+    from .hash_jax import _limbs_from_packed, _mod_barrett, _xxh3_device
 
     n = packed.shape[0]
     n_chunks = n // chunk
@@ -325,7 +325,7 @@ def query_accumulate_hash_scan(
         limbs = _limbs_from_packed(p[:, 0], p[:, 1], k)
         rows = jnp.stack(
             [
-                _mod_horner(_xxh3_device(limbs, k, seed), bloom_size).astype(
+                _mod_barrett(_xxh3_device(limbs, k, seed), bloom_size).astype(
                     jnp.int32
                 )
                 for seed in range(num_hash)

@@ -23,3 +23,16 @@ def test_device_rows_match(k):
 def test_pack_rejects_non_acgt():
     assert pack_keys_host(np.frombuffer(b"ACGN", dtype=np.uint8)[None]) is None
     assert pack_keys_host(np.frombuffer(b"acgt", dtype=np.uint8)[None]) is None
+
+
+def test_barrett_equals_horner():
+    import jax.numpy as jnp
+    from colorid_tpu.ops.hash_jax import _mod_barrett, _mod_horner
+
+    rng = np.random.default_rng(9)
+    lo = jnp.asarray(rng.integers(0, 2**32, 4096, dtype=np.uint32))
+    hi = jnp.asarray(rng.integers(0, 2**32, 4096, dtype=np.uint32))
+    for m in [3, 750_000, 50_000_000, (1 << 30) - 1, 1 << 29]:
+        a = np.asarray(_mod_barrett((lo, hi), m))
+        b = np.asarray(_mod_horner((lo, hi), m))
+        np.testing.assert_array_equal(a, b)
