@@ -132,6 +132,10 @@ class QueryEngine:
         none = np.zeros(0, dtype=np.int32)
         if n == 0:
             return SearchResult(counts, True, and_all, empty_hist, none, none)
+        if packed_all is not None and not (
+            k and 4 <= k <= 32 and self.index.bloom_size < 2**30
+        ):
+            packed_all = None  # device hash envelope exceeded
         if packed_all is None and rows_all is None:
             k = keys.shape[1]
             if 4 <= k <= 32 and self.index.bloom_size < 2**30:

@@ -39,9 +39,10 @@ def _count_query_kmers(
             print("Counting k-mers, this may take a while!", file=sys.stderr)
             nc = native.count_fastq(file1, file2, k, qual_offset, 0)
             if nc is not None:
-                if filter_t < 0:
-                    return nc.dump(auto_cutoff(nc.counts()))
-                return nc.dump(filter_t)
+                t = auto_cutoff(nc.counts()) if filter_t < 0 else filter_t
+                keys, counts = nc.dump(t)
+                packed, _ = nc.dump_packed(t)
+                return keys, counts, packed
         else:
             print(file1, file=sys.stderr)
             print("Counting k-mers, this may take a while!", file=sys.stderr)
@@ -53,11 +54,15 @@ def _count_query_kmers(
                 ok = all(nc.add(to_bytes(s)) for s in read_fasta(file1))
                 if ok:
                     if gene_search:
-                        return nc.dump(0)
-                    if filter_t < 0:
+                        t = 0
+                    elif filter_t < 0:
                         print("no gene search", file=sys.stderr)
-                        return nc.dump(auto_cutoff(nc.counts()))
-                    return nc.dump(filter_t)
+                        t = auto_cutoff(nc.counts())
+                    else:
+                        t = filter_t
+                    keys, counts = nc.dump(t)
+                    packed, _ = nc.dump_packed(t)
+                    return keys, counts, packed
     if file1.endswith("gz"):
         if file2 is None:
             print(file1, file=sys.stderr)
@@ -74,19 +79,19 @@ def _count_query_kmers(
         keys, counts = count_kmers(seqs, k, skip_n=True, uppercase=False)
         if filter_t < 0:
             t = auto_cutoff(counts)
-            return clean_counts(keys, counts, t)
-        return clean_counts(keys, counts, filter_t)
+            return clean_counts(keys, counts, t) + (None,)
+        return clean_counts(keys, counts, filter_t) + (None,)
     print(file1, file=sys.stderr)
     print("Counting k-mers, this may take a while!", file=sys.stderr)
     seqs = (to_bytes(s) for s in read_fasta(file1))
     keys, counts = count_kmers(seqs, k, skip_n=True, uppercase=True)
     if gene_search:
-        return clean_counts(keys, counts, 0)
+        return clean_counts(keys, counts, 0) + (None,)
     if filter_t < 0:
         print("no gene search", file=sys.stderr)
         t = auto_cutoff(counts)
-        return clean_counts(keys, counts, t)
-    return clean_counts(keys, counts, filter_t)
+        return clean_counts(keys, counts, t) + (None,)
+    return clean_counts(keys, counts, filter_t) + (None,)
 
 
 def batch_search(
@@ -103,12 +108,14 @@ def batch_search(
     out_lines: list[str] = []
     for i, file1 in enumerate(files1):
         file2 = files2[i] if files2 else None
-        keys, qcounts = _count_query_kmers(
+        keys, qcounts, packed = _count_query_kmers(
             file1, file2, index.k_size, qual_offset, filter_t, gene_search
         )
         num_kmers = keys.shape[0]
         print(f"{num_kmers} k-mers in query", file=sys.stderr)
-        res = engine.search_keys(keys, qcounts=qcounts)
+        res = engine.search_keys(
+            keys, qcounts=qcounts, packed_all=packed, k=index.k_size
+        )
         report = {
             index.colors[c]: int(res.counts[c])
             for c in range(index.n_colors)
