@@ -136,12 +136,12 @@ def test_info(built, capsys):
         assert f"Listeria_phage_{name}" in out
 
 
-def test_batch_id(built, capsys, tmp_path):
+def test_batch_id(built, capsys, tmp_path, monkeypatch):
     tmp, bxi = built
     fq = _synth_fastq(tmp, n_reads=40, seed=9)
     man = tmp_path / "samples.txt"
     man.write_text(f"sampleA\t{fq}\n")
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)
     main(["batch_id", "-b", bxi, "-q", str(man), "-T", "t1"])
     assert os.path.exists("sampleA_t1_reads.txt")
     assert os.path.exists("sampleA_t1_counts.txt")

@@ -132,7 +132,12 @@ def test_mlst_script(tmp_path):
     )
     prefix = str(tmp_path / "out")
     r = subprocess.run(
-        [sys.executable, "workflows/MLST/process_mlst.py", str(search_out), prefix],
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "workflows/MLST/process_mlst.py"),
+            str(search_out), prefix,
+        ],
         capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stderr
