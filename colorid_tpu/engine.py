@@ -164,12 +164,18 @@ class QueryEngine:
             m = stop - start
             size = _round_up(m, chunk) if m > chunk else _round_up(m, 16384)
             csize = chunk if m > chunk else size
-            qc = np.zeros(size, dtype=np.int32)
-            qc[:m] = np.maximum(qcounts[start:stop], 1)
+            if m == size:
+                qc = np.maximum(qcounts[start:stop], 1)
+            else:
+                qc = np.zeros(size, dtype=np.int32)
+                qc[:m] = np.maximum(qcounts[start:stop], 1)
             if packed_all is not None:
-                pk = np.zeros((size, 2), dtype=np.uint32)
-                pk[:m] = packed_all[start:stop]
-                qc[m:] = 0  # padding marker
+                if m == size:  # full segment: zero-copy contiguous view
+                    pk = packed_all[start:stop]
+                else:
+                    pk = np.zeros((size, 2), dtype=np.uint32)
+                    pk[:m] = packed_all[start:stop]
+                    qc[m:] = 0  # padding marker
                 stats, hist, oc_buf, of_buf = query_accumulate_hash_scan(
                     stats,
                     hist,
