@@ -28,6 +28,7 @@ from .ops.query import (
     query_batch,
     query_batch_compact,
     query_readid_batch,
+    query_readid_hash_batch,
 )
 
 
@@ -257,6 +258,49 @@ class QueryEngine:
             n_reads,
             start_sample,
         )
+
+    def readid_counts_packed(
+        self,
+        packed: np.ndarray,  # uint32 [N, 2]
+        seg: np.ndarray,  # int16 [N] sorted asc
+        pos: np.ndarray,  # int16 [N]
+        n_reads: int,
+        start_sample: int,
+        k: int,
+    ) -> np.ndarray:
+        """readid counts with on-device hashing (12B/kmer host traffic)."""
+        C = self.index.n_colors
+        out = np.zeros((n_reads, C + 1), dtype=np.int32)
+        READS = 2048
+        for r0 in range(0, n_reads, READS):
+            r1 = min(r0 + READS, n_reads)
+            lo = np.searchsorted(seg, r0, "left")
+            hi = np.searchsorted(seg, r1, "left")
+            n = hi - lo
+            if n == 0:
+                continue
+            size = _round_up(n, 65536)
+            pk = np.zeros((size, 2), dtype=np.uint32)
+            pk[:n] = packed[lo:hi]
+            sg = np.zeros(size, dtype=np.int16)
+            sg[:n] = seg[lo:hi] - np.int16(r0)
+            ps = np.full(size, -1, dtype=np.int16)
+            ps[:n] = pos[lo:hi]
+            report = query_readid_hash_batch(
+                self.blocks2,
+                jnp.asarray(pk),
+                jnp.asarray(sg),
+                jnp.asarray(ps),
+                num_reads=READS,
+                start_sample=start_sample,
+                num_colors=C,
+                wpad=self.wpad,
+                k=k,
+                num_hash=self.index.num_hash,
+                bloom_size=self.index.bloom_size,
+            )
+            out[r0:r1] = np.asarray(report)[: r1 - r0]
+        return out
 
     def readid_counts_arrays(
         self,

@@ -89,6 +89,13 @@ def _load():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.ct_read_sets_packed.restype = ctypes.c_int64
+        lib.ct_read_sets_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
         lib.ct_read_sets.restype = ctypes.c_int64
         lib.ct_read_sets.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -249,3 +256,45 @@ def read_sets(
     if total < 0:
         raise RuntimeError("ct_read_sets capacity underestimate")
     return rows[:total], seg[:total], pos[:total], maplen
+
+
+def read_sets_packed(
+    seqs_concat: np.ndarray,
+    seq_offs: np.ndarray,
+    read_seq_counts: np.ndarray,
+    k: int,
+    d: int,
+    m_size: int,
+):
+    """Per-read first-occurrence k-mer sets as raw 2-bit packed keys ->
+    (packed [N, 2] uint32, seg [N] int16, pos [N] int16, maplen [B]) or None
+    (lowercase / unsupported params -> caller uses the exact path)."""
+    lib = _load()
+    if lib is None or k > 32 or (m_size and m_size > 32):
+        return None
+    seqs_concat = np.ascontiguousarray(seqs_concat, dtype=np.uint8)
+    seq_offs = np.ascontiguousarray(seq_offs, dtype=np.int64)
+    read_seq_counts = np.ascontiguousarray(read_seq_counts, dtype=np.int32)
+    n_reads = len(read_seq_counts)
+    if n_reads >= 32768:
+        return None
+    lens = np.diff(seq_offs)
+    cap = int(np.maximum(0, (lens - k) // d + 1).sum())
+    packed = np.empty(max(cap, 1), dtype=np.uint64)
+    seg = np.empty(max(cap, 1), dtype=np.int16)
+    pos = np.empty(max(cap, 1), dtype=np.int16)
+    maplen = np.empty(n_reads, dtype=np.int32)
+    total = lib.ct_read_sets_packed(
+        seqs_concat.ctypes.data, seq_offs.ctypes.data,
+        read_seq_counts.ctypes.data, n_reads, k, d, m_size,
+        packed.ctypes.data, seg.ctypes.data, pos.ctypes.data,
+        maplen.ctypes.data, cap,
+    )
+    if total == -2:
+        return None
+    if total < 0:
+        raise RuntimeError("ct_read_sets_packed capacity underestimate")
+    pairs = np.empty((total, 2), dtype=np.uint32)
+    pairs[:, 0] = (packed[:total] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    pairs[:, 1] = (packed[:total] >> np.uint64(32)).astype(np.uint32)
+    return pairs, seg[:total], pos[:total], maplen

@@ -496,3 +496,67 @@ extern "C" int64_t ct_counter_dump_packed(void* h, int64_t t,
     }
     return j;
 }
+
+extern "C" int64_t ct_read_sets_packed(
+    const uint8_t* seqs, const int64_t* seq_offs, const int32_t* read_seq_counts,
+    int64_t n_reads, int32_t k, int32_t d, int32_t m_size,
+    uint64_t* packed_out, int16_t* seg_out, int16_t* pos_out,
+    int32_t* maplen_out, int64_t cap) {
+    // Like ct_read_sets but emits the raw 2-bit packed canonical k-mers
+    // (device hashes them) with int16 seg/pos — 12B/kmer of host traffic
+    // instead of 24B. Requires n_reads and per-read set sizes < 32768.
+    std::vector<uint64_t> set_keys;
+    std::vector<int32_t> set_used;
+    int64_t total = 0;
+    int64_t seq_idx = 0;
+    for (int64_t r = 0; r < n_reads; r++) {
+        set_keys.assign(1024, 0);
+        set_used.assign(1024, 0);
+        uint64_t smask = 1023;
+        int32_t pos = 0;
+        for (int32_t s = 0; s < read_seq_counts[r]; s++, seq_idx++) {
+            const uint8_t* seq = seqs + seq_offs[seq_idx];
+            int64_t len = seq_offs[seq_idx + 1] - seq_offs[seq_idx];
+            if (len < k) continue;
+            if (has_lowercase_acgt(seq, len)) return -2;
+            bool ok = scan_canonical(seq, len, k, d, [&](uint64_t canon, uint64_t other, int64_t) {
+                uint64_t key = (m_size > 0) ? window_minimizer(canon, other, k, m_size) : canon;
+                uint64_t p = splitmix64(key) & smask;
+                for (;;) {
+                    if (!set_used[p]) break;
+                    if (set_keys[p] == key) return;
+                    p = (p + 1) & smask;
+                }
+                set_used[p] = 1;
+                set_keys[p] = key;
+                if ((uint64_t)pos * 10 > smask * 7) {
+                    size_t ncap = (smask + 1) * 2;
+                    std::vector<uint64_t> nk(ncap, 0);
+                    std::vector<int32_t> nu(ncap, 0);
+                    uint64_t nm = ncap - 1;
+                    for (size_t i = 0; i <= smask; i++) {
+                        if (!set_used[i]) continue;
+                        uint64_t q = splitmix64(set_keys[i]) & nm;
+                        while (nu[q]) q = (q + 1) & nm;
+                        nk[q] = set_keys[i];
+                        nu[q] = 1;
+                    }
+                    set_keys.swap(nk);
+                    set_used.swap(nu);
+                    smask = nm;
+                }
+                if (total < cap) {
+                    packed_out[total] = key;
+                    seg_out[total] = (int16_t)r;
+                    pos_out[total] = (int16_t)pos;
+                }
+                total++;
+                pos++;
+            });
+            if (!ok) return -2;
+        }
+        maplen_out[r] = pos;
+    }
+    if (total > cap) return -1 - total;
+    return total;
+}

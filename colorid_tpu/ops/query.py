@@ -385,6 +385,17 @@ def query_readid_batch(
       report: int32 [B_r, C+1] per-read per-color counts; column C is the
         no_hits pseudo-color.
     """
+    return _readid_core(
+        blocks2, rows, seg_ids, kmer_pos,
+        num_reads=num_reads, start_sample=start_sample,
+        num_colors=num_colors, wpad=wpad,
+    )
+
+
+def _readid_core(
+    blocks2, rows, seg_ids, kmer_pos, *, num_reads, start_sample,
+    num_colors, wpad,
+):
     n_reads = num_reads
     andw, present_all = _and_present(blocks2, rows, wpad)
     valid = present_all
@@ -421,6 +432,51 @@ def query_readid_batch(
     )
     no_hits = had_absent.astype(jnp.int32)[:, None]
     return jnp.concatenate([report, no_hits], axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_reads", "start_sample", "num_colors", "wpad", "k", "num_hash",
+        "bloom_size",
+    ),
+)
+def query_readid_hash_batch(
+    blocks2: jnp.ndarray,
+    packed: jnp.ndarray,  # uint32 [N, 2] 2-bit packed canonical k-mers
+    seg_ids16: jnp.ndarray,  # int16 [N]
+    kmer_pos16: jnp.ndarray,  # int16 [N]; -1 marks padding
+    *,
+    num_reads: int,
+    start_sample: int,
+    num_colors: int,
+    wpad: int,
+    k: int,
+    num_hash: int,
+    bloom_size: int,
+):
+    """query_readid_batch with on-device XXH3: the host ships 12B per k-mer
+    (packed key + int16 seg/pos) instead of 24B."""
+    from .hash_jax import _limbs_from_packed, _mod_barrett, _xxh3_device
+
+    limbs = _limbs_from_packed(packed[:, 0], packed[:, 1], k)
+    rows = jnp.stack(
+        [
+            _mod_barrett(_xxh3_device(limbs, k, seed), bloom_size).astype(
+                jnp.int32
+            )
+            for seed in range(num_hash)
+        ],
+        axis=1,
+    )
+    seg_ids = seg_ids16.astype(jnp.int32)
+    p16 = kmer_pos16.astype(jnp.int32)
+    kmer_pos = jnp.where(p16 < 0, jnp.int32(PAD_POS), p16)
+    return _readid_core(
+        blocks2, rows, seg_ids, kmer_pos,
+        num_reads=num_reads, start_sample=start_sample,
+        num_colors=num_colors, wpad=wpad,
+    )
 
 
 def pad_rows(rows: np.ndarray, n_pad: int) -> np.ndarray:

@@ -37,8 +37,12 @@ from .reports import read_counts_five_fields
 Classification = tuple[str, str, int, int, str, int]
 
 
-def _prepare_native(batch, todo_idx, index, d):
-    """Flattened per-read k-mer rows via the C++ fast path (None => numpy)."""
+def _prepare_native(batch, todo_idx, index, d, packed_ok):
+    """Flattened per-read k-mer arrays via the C++ fast path.
+
+    Returns ("packed", packed, seg16, pos16, maplen) when the device-hash
+    path applies, ("rows", rows, seg, pos, maplen) otherwise, or None for
+    the exact numpy fallback."""
     from .. import native
 
     if not native.available():
@@ -57,9 +61,15 @@ def _prepare_native(batch, todo_idx, index, d):
     concat = (
         np.concatenate(seqs) if seqs else np.zeros(0, dtype=np.uint8)
     )
-    return native.read_sets(
+    width = m or k
+    if packed_ok and 4 <= width <= 32 and len(todo_idx) < 32768:
+        got = native.read_sets_packed(concat, offs, nseqs, k, d, m)
+        if got is not None:
+            return ("packed",) + got
+    got = native.read_sets(
         concat, offs, nseqs, k, d, m, index.num_hash, index.bloom_size
     )
+    return None if got is None else ("rows",) + got
 
 
 def classify_batch(
@@ -94,18 +104,34 @@ def classify_batch(
         todo_idx.append(i)
     if not todo_idx:
         return out
-    prepared = _prepare_native(batch, todo_idx, index, d)
-    if prepared is not None:
-        rows, seg, pos, map_lens = prepared
-        report = engine.readid_counts_arrays(
-            rows, seg, pos, len(todo_idx), start_sample
-        )
-    else:
-        keys_list = [
-            kmer_set(batch[i][1], k, d=d, minimizer=m) for i in todo_idx
-        ]
-        map_lens = [keys.shape[0] for keys in keys_list]
-        report = engine.readid_counts(keys_list, start_sample)  # [B, C+1]
+    packed_ok = index.bloom_size < 2**30
+    # slice the batch so int16 segment ids suffice for the packed path
+    report_parts = []
+    maplen_parts = []
+    GROUP = 16384
+    for g0 in range(0, len(todo_idx), GROUP):
+        group = todo_idx[g0 : g0 + GROUP]
+        prepared = _prepare_native(batch, group, index, d, packed_ok)
+        if prepared is not None and prepared[0] == "packed":
+            _, packed, seg, pos, maplen = prepared
+            rep = engine.readid_counts_packed(
+                packed, seg, pos, len(group), start_sample, m or k
+            )
+        elif prepared is not None:
+            _, rows, seg, pos, maplen = prepared
+            rep = engine.readid_counts_arrays(
+                rows, seg, pos, len(group), start_sample
+            )
+        else:
+            keys_list = [
+                kmer_set(batch[i][1], k, d=d, minimizer=m) for i in group
+            ]
+            maplen = [keys.shape[0] for keys in keys_list]
+            rep = engine.readid_counts(keys_list, start_sample)
+        report_parts.append(rep)
+        maplen_parts.append(np.asarray(maplen))
+    report = np.concatenate(report_parts, axis=0)
+    map_lens = np.concatenate(maplen_parts)
     real = report[:, :C].astype(np.int64)
     noh = report[:, C].astype(np.int64)
     mlen = np.asarray(map_lens, dtype=np.int64)
