@@ -8,7 +8,7 @@ integer tensors cross the host→device boundary.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -21,12 +21,9 @@ from .ops.hash_jax import pack_keys_host
 from .ops.query import (
     FREQ_CAP,
     PAD_POS,
-    query_accumulate_hash_scan,
     pack_matrix_blocks,
-    query_accumulate,
+    query_accumulate_hash_scan,
     query_accumulate_scan,
-    query_batch,
-    query_batch_compact,
     query_readid_batch,
     query_readid_hash_batch,
 )

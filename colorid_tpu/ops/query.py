@@ -128,78 +128,7 @@ def query_batch(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray, *, w
     return counts, uniq_color, valid, and_all, all_valid
 
 
-@partial(jax.jit, static_argnames=("wpad",))
-def query_batch_compact(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray, *, wpad: int):
-    """query_batch with device-side compaction of unique-hit k-mers.
-
-    Host↔device traffic is the bottleneck when the device link is thin (and
-    never free): instead of returning a [N] per-k-mer color vector, the
-    unique-hit (k-mer index, color) pairs are compacted on device so the
-    host fetches only ``n_uniq`` entries.
-
-    Returns:
-      counts:     int32 [W*32]
-      n_uniq:     int32 []      number of unique-hit k-mers
-      uniq_idx:   int32 [N]     first n_uniq entries: k-mer indices
-      uniq_color: int32 [N]     first n_uniq entries: their colors
-      and_all:    uint32 [W]
-      all_valid:  bool []
-    """
-    andw, present = _and_present(blocks2, rows, wpad)
-    valid = present & mask
-    bits = _unpack_bits(andw)
-    vbits = bits * valid[:, None].astype(jnp.int32)
-    counts = vbits.sum(axis=0)
-    nhits = vbits.sum(axis=1)
-    coloridx = jnp.argmax(vbits, axis=1).astype(jnp.int32)
-    uniq_mask = valid & (nhits == 1)
-    n = rows.shape[0]
-    pos = jnp.cumsum(uniq_mask) - 1
-    n_uniq = uniq_mask.sum().astype(jnp.int32)
-    scatter_to = jnp.where(uniq_mask, pos, n)
-    idxs = jnp.arange(n, dtype=jnp.int32)
-    uniq_idx = (
-        jnp.zeros(n, dtype=jnp.int32).at[scatter_to].set(idxs, mode="drop")
-    )
-    uniq_color = (
-        jnp.zeros(n, dtype=jnp.int32).at[scatter_to].set(coloridx, mode="drop")
-    )
-    masked = jnp.where(valid[:, None], andw, jnp.uint32(0xFFFFFFFF))
-    and_all = jax.lax.reduce(
-        masked, jnp.uint32(0xFFFFFFFF), jax.lax.bitwise_and, dimensions=(0,)
-    )
-    all_valid = (present | ~mask).all()
-    return counts, n_uniq, uniq_idx, uniq_color, and_all, all_valid
-
-
 FREQ_CAP = 1024  # per-color on-device frequency histogram width
-
-
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("wpad",))
-def query_accumulate(
-    stats: jnp.ndarray,  # int32 [C + wpad + 2]: counts ++ and_words ++ [ok, n_over]
-    hist: jnp.ndarray,  # int32 [C, FREQ_CAP] uniq-hit freq histogram
-    over_col: jnp.ndarray,  # int32 [capO] overflow (freq >= FREQ_CAP) colors
-    over_freq: jnp.ndarray,  # int32 [capO] overflow freqs
-    blocks2: jnp.ndarray,
-    rows: jnp.ndarray,
-    mask: jnp.ndarray,
-    qcounts: jnp.ndarray,  # int32 [N] query k-mer frequencies
-    *,
-    wpad: int,
-):
-    """One batch of the streaming query, accumulated fully on device.
-
-    Everything the reference's per-k-mer loop produces (per-color hit
-    counts, the uniq_freqs coverage stats of batch_search_pe.rs:75-83, the
-    perfect-search global AND) accumulates in donated device buffers; the
-    host fetches once per query. Unique-hit k-mer frequencies land in a
-    [C, FREQ_CAP] histogram (exact mean/mode/count recovery) with a
-    compacted overflow list for freqs >= FREQ_CAP.
-    """
-    return _accumulate_one(
-        stats, hist, over_col, over_freq, blocks2, rows, mask, qcounts, wpad
-    )
 
 
 def _accumulate_one(
