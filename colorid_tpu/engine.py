@@ -268,7 +268,7 @@ class QueryEngine:
         """readid counts with on-device hashing (12B/kmer host traffic)."""
         C = self.index.n_colors
         out = np.zeros((n_reads, C + 1), dtype=np.int32)
-        READS = 2048
+        READS = 8192
         for r0 in range(0, n_reads, READS):
             r1 = min(r0 + READS, n_reads)
             lo = np.searchsorted(seg, r0, "left")
@@ -313,7 +313,7 @@ class QueryEngine:
         budget and jit shapes stay cache-friendly."""
         C = self.index.n_colors
         out = np.zeros((n_reads, C + 1), dtype=np.int32)
-        READS = 2048
+        READS = 8192
         rows = rows.astype(np.int32, copy=False)
         for r0 in range(0, n_reads, READS):
             r1 = min(r0 + READS, n_reads)

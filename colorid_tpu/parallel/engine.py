@@ -64,7 +64,6 @@ class ShardedQueryEngine:
     def search_keys(
         self, keys: np.ndarray, qcounts: np.ndarray | None = None
     ) -> SearchResult:
-        import jax.numpy as jnp
 
         index = self.index
         C = index.n_colors

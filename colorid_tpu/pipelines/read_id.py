@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import sys
 import time
-from typing import Iterable, Iterator
+from typing import Iterator
 
 import numpy as np
 

@@ -12,7 +12,7 @@ import sys
 import numpy as np
 
 from ..core.cutoff import auto_cutoff, clean_counts
-from ..core.dna import to_bytes, to_str
+from ..core.dna import to_bytes
 from ..core.fastx import read_fasta, read_fasta_mf, stream_fastq, stream_fastq_pe
 from ..core.kmers import canonical_windows, count_kmers, unique_rows
 from ..engine import QueryEngine
