@@ -1,0 +1,79 @@
+"""The HTTP serving layer over a small phage index."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from colorid_tpu.core.fastx import read_fasta
+from colorid_tpu.pipelines.build import build_index, tab_to_map
+from colorid_tpu import serve
+from tests.test_cli_e2e import _ref_manifest
+
+REFS = "/root/reference/test_data/refs"
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    man = _ref_manifest(tmp)
+    index = build_index(tab_to_map(man), 400_000, 4, 27, verbose=False)
+    path = str(tmp / "panel.bxi")
+    index.save(path)
+    srv = serve.make_server(path, 0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_healthz_info(server):
+    h = _get(server + "/healthz")
+    assert h["ok"] and h["bloom_size"] == 400_000 and h["n_colors"] == 4
+    info = _get(server + "/info")
+    names = [a["accession"] for a in info["accessions"]]
+    assert "Listeria_phage_B056" in names
+
+
+def test_search(server):
+    seqs = read_fasta(f"{REFS}/Listeria_phage_B056.fasta")[:10]
+    out = _post(server + "/search", {"sequences": seqs, "filter": 0, "p_shared": 0.01})
+    hits = {r[2] for r in out["rows"]}
+    assert "Listeria_phage_B056" in hits
+    assert out["num_kmers"] > 1000
+
+
+def test_classify(server):
+    g = "".join(read_fasta(f"{REFS}/Listeria_phage_B056.fasta"))
+    reads = [
+        {"id": f"r{i}", "seqs": [g[i * 500 : i * 500 + 150]]} for i in range(20)
+    ]
+    out = _post(server + "/classify", {"reads": reads})
+    rows = out["rows"]
+    assert len(rows) == 20
+    ok = [r for r in rows if r["classification"] == "Listeria_phage_B056"]
+    assert len(ok) >= 15
+
+
+def test_bad_json(server):
+    req = urllib.request.Request(
+        server + "/search", b"{not json", headers={"Content-Type": "application/json"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
