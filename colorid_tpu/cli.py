@@ -50,6 +50,8 @@ def _build(args: argparse.Namespace) -> None:
         m_size=m_size,
         quality=args.quality,
         cutoff=args.filter,
+        checkpoint_dir=args.checkpoint,
+        device=args.device_build,
     )
     print("Saving BIGSI to file.")
     ext = ".mxi" if args.minimizer else ".bxi"
@@ -186,6 +188,10 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("-f", "--filter", type=int, default=-1)
     b.add_argument("--ref-format", action="store_true",
                    help="write reference-compatible bincode .bxi/.mxi")
+    b.add_argument("--checkpoint", default=None,
+                   help="directory for per-accession build checkpoints (resume)")
+    b.add_argument("--device-build", action="store_true",
+                   help="run the scatter-OR index construction on the accelerator")
     b.set_defaults(func=_build)
 
     s = sub.add_parser("search", help="bigsi search on fasta/fastq.gz files")

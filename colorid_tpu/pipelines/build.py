@@ -22,6 +22,8 @@ kmer.rs:346 vs :746).
 
 from __future__ import annotations
 
+import os
+import re
 import sys
 
 import numpy as np
@@ -32,6 +34,10 @@ from ..core.kmers import count_kmers
 from ..core.dna import to_bytes
 from ..hashing.xxh3 import bloom_rows_batch
 from ..index.bigsi import BigsiIndex
+
+
+def _safe_name(acc: str) -> str:
+    return re.sub(r"[^A-Za-z0-9._-]", "_", acc)
 
 
 def tab_to_map(path: str) -> dict[str, list[str]]:
@@ -151,38 +157,83 @@ def build_index(
     cutoff: int = -1,
     verbose: bool = True,
     device: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> BigsiIndex:
     """Build the dense bit-slice index (build.rs:132-256 semantics).
 
     device=True runs the scatter-OR transpose on the accelerator
-    (ops/build_ops.py); device=False scatters with numpy on host."""
+    (ops/build_ops.py); device=False scatters with numpy on host.
+
+    checkpoint_dir enables per-accession resume (the reference has no
+    partial build, SURVEY §5): each finished accession's Bloom bitmap
+    (bloom_size/8 bytes) + k-mer count land in the directory, and an
+    interrupted build skips completed accessions on rerun.
+    """
+    from ..trace import span
+
     accessions = sorted(ref_map.keys())
     C = len(accessions)
     W = (C + 31) // 32
     n_ref_kmers: dict[str, int] = {}
     row_lists: list[np.ndarray] = []
     matrix = None if device else np.zeros((bloom_size, W), dtype=np.uint32)
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
     for i, acc in enumerate(accessions):
         if verbose:
             print(f"Adding {acc} to index ({i + 1}/{C})", file=sys.stderr)
-        keys, _counts = accession_kmers(
-            ref_map[acc], k_size, quality, cutoff, m_size
+        bloom = None
+        ck = (
+            os.path.join(checkpoint_dir, _safe_name(acc) + ".bloom.npz")
+            if checkpoint_dir
+            else None
         )
-        n_ref_kmers[acc] = keys.shape[0]
-        if keys.shape[0] == 0:
-            rows = np.zeros((0, num_hash), dtype=np.int32)
-        else:
-            rows = _hash_rows(keys, num_hash, bloom_size)
-        if device:
-            row_lists.append(rows.astype(np.int32))
-        else:
+        if ck and os.path.exists(ck):
+            z = np.load(ck)
+            if (
+                int(z["bloom_size"]) == bloom_size
+                and int(z["num_hash"]) == num_hash
+                and int(z["k_size"]) == k_size
+                and int(z["m_size"]) == m_size
+            ):
+                bloom = np.unpackbits(z["bits"], bitorder="little")[
+                    :bloom_size
+                ].astype(bool)
+                n_ref_kmers[acc] = int(z["n_kmers"])
+                if verbose:
+                    print(f"  (resumed from checkpoint)", file=sys.stderr)
+        if bloom is None:
+            with span(f"build:count:{acc}"):
+                keys, _counts = accession_kmers(
+                    ref_map[acc], k_size, quality, cutoff, m_size
+                )
+            n_ref_kmers[acc] = keys.shape[0]
+            if keys.shape[0] == 0:
+                rows = np.zeros((0, num_hash), dtype=np.int32)
+            else:
+                with span(f"build:hash:{acc}"):
+                    rows = _hash_rows(keys, num_hash, bloom_size)
             bloom = np.zeros(bloom_size, dtype=bool)
             bloom[rows.ravel()] = True
+            if ck:
+                np.savez(
+                    ck,
+                    bits=np.packbits(bloom, bitorder="little"),
+                    n_kmers=n_ref_kmers[acc],
+                    bloom_size=bloom_size,
+                    num_hash=num_hash,
+                    k_size=k_size,
+                    m_size=m_size,
+                )
+        if device:
+            row_lists.append(np.nonzero(bloom)[0].astype(np.int32))
+        else:
             matrix[:, i // 32] |= bloom.astype(np.uint32) << np.uint32(i % 32)
     if device:
         from ..ops.build_ops import build_matrix_device
 
-        matrix = np.asarray(build_matrix_device(row_lists, bloom_size))
+        with span("build:scatter_or_device"):
+            matrix = np.asarray(build_matrix_device(row_lists, bloom_size))
     return BigsiIndex(
         bloom_size=bloom_size,
         num_hash=num_hash,

@@ -34,3 +34,26 @@ def test_build_index_device_matches_host():
     dev = build_index(ref_map, 100000, 3, 21, verbose=False, device=True)
     np.testing.assert_array_equal(host.matrix, dev.matrix)
     assert host.n_ref_kmers == dev.n_ref_kmers
+
+
+def test_build_checkpoint_resume(tmp_path, monkeypatch):
+    ref_map = {
+        "B021": [f"{REFS}/Listeria_phage_B021.fasta"],
+        "B056": [f"{REFS}/Listeria_phage_B056.fasta"],
+    }
+    ck = str(tmp_path / "ck")
+    a = build_index(ref_map, 80000, 3, 21, verbose=False, checkpoint_dir=ck)
+    # second run must not re-count: poison accession_kmers
+    import colorid_tpu.pipelines.build as B
+
+    def boom(*a, **k):
+        raise AssertionError("re-counted despite checkpoint")
+
+    monkeypatch.setattr(B, "accession_kmers", boom)
+    b = build_index(ref_map, 80000, 3, 21, verbose=False, checkpoint_dir=ck)
+    np.testing.assert_array_equal(a.matrix, b.matrix)
+    assert a.n_ref_kmers == b.n_ref_kmers
+    # parameter mismatch invalidates the checkpoint
+    monkeypatch.undo()
+    c = build_index(ref_map, 80000, 4, 21, verbose=False, checkpoint_dir=ck)
+    assert c.num_hash == 4
