@@ -151,3 +151,36 @@ def test_mlst_script(tmp_path):
     assert rows["sampleB"] == ["sampleB", "NA", "NA"]
     det = open(prefix + ".detailed.tsv").read()
     assert "MULTI" in det and "NOT_CALLED" in det
+
+
+def test_multi_query_files(tmp_path, capsys):
+    man = _ref_manifest(tmp_path)
+    prefix = str(tmp_path / "idx")
+    main(["build", "-s", "750000", "-n", "4", "-k", "27", "-b", prefix, "-r", man])
+    g56 = read_fasta(f"{REFS}/Listeria_phage_B056.fasta")
+    g21 = read_fasta(f"{REFS}/Listeria_phage_B021.fasta")
+    q1 = tmp_path / "q1.fasta"
+    q2 = tmp_path / "q2.fasta"
+    q1.write_text("".join(f">r\n{s}\n" for s in g56))
+    q2.write_text("".join(f">r\n{s}\n" for s in g21))
+    main(["search", "-b", prefix + ".bxi", "-q", str(q1), str(q2), "-f", "0"])
+    out = [l.split("\t") for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r[0], set()).add(r[2])
+    assert "Listeria_phage_B056" in by_query[str(q1)]
+    assert "Listeria_phage_B021" in by_query[str(q2)]
+
+
+def test_gene_search_on_fastq(tmp_path, capsys):
+    man = _ref_manifest(tmp_path)
+    prefix = str(tmp_path / "idx")
+    main(["build", "-s", "750000", "-n", "4", "-k", "27", "-b", prefix, "-r", man])
+    p1, _p2 = _pe_fastqs(tmp_path, n=3000)
+    # gz + -g: filtering still uses -f/auto (batch_search_pe.rs:34-39) but
+    # the report is gene-style (4 columns, frac >= cov)
+    main(["search", "-b", prefix + ".bxi", "-g", "-q", p1, "-f", "1",
+          "-p", "0.1"])
+    out = [l.split("\t") for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert out and all(len(r) == 4 for r in out)
+    assert any(r[1] == "Listeria_phage_B056" for r in out)
