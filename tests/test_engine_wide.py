@@ -1,0 +1,90 @@
+"""Engine oracle test with 65 colors (3-word rows, wpad=4) — exercises the
+multi-word block-gather, the device-hash path, and the rows fallback against
+a per-k-mer python oracle."""
+
+import numpy as np
+import pytest
+
+xxhash = pytest.importorskip("xxhash")
+
+from colorid_tpu.core.dna import to_str
+from colorid_tpu.engine import QueryEngine
+from colorid_tpu.index.bigsi import BigsiIndex
+
+BLOOM = 100_000
+H = 4
+K = 31
+C = 65
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(5)
+    matrix = rng.integers(0, 2**32, (BLOOM, 3), dtype=np.uint32)
+    matrix[:, 2] &= 1  # 65th color only
+    matrix[rng.integers(0, BLOOM, 30_000)] = 0  # absent rows
+    names = [f"g{i:02d}" for i in range(C)]
+    index = BigsiIndex(BLOOM, H, K, 0, names, {n: 1000 for n in names}, matrix)
+    keys = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(3000, K))
+    qcounts = rng.integers(1, 3000, 3000).astype(np.int32)
+    return index, matrix, keys, qcounts
+
+
+def _oracle(index, matrix, keys, qcounts):
+    counts = np.zeros(C, dtype=np.int64)
+    uniq = {}
+    all_valid = True
+    and_all = np.full(3, 0xFFFFFFFF, dtype=np.uint32)
+    for i, kb in enumerate(keys):
+        km = to_str(kb)
+        rows = [
+            xxhash.xxh3_64_intdigest(km.encode(), s) % BLOOM for s in range(H)
+        ]
+        words = [matrix[r] for r in rows]
+        if any(not w.any() for w in words):
+            all_valid = False
+            continue
+        a = words[0].copy()
+        for w in words[1:]:
+            a &= w
+        and_all &= a
+        hits = [
+            c for c in range(C) if (int(a[c // 32]) >> (c % 32)) & 1
+        ]
+        for c in hits:
+            counts[c] += 1
+        if len(hits) == 1:
+            uniq.setdefault(hits[0], []).append(int(qcounts[i]))
+    return counts, uniq, all_valid, and_all
+
+
+def _check(res, counts, uniq, all_valid, and_all):
+    from collections import Counter
+
+    np.testing.assert_array_equal(res.counts, counts)
+    assert res.all_valid == all_valid
+    np.testing.assert_array_equal(res.and_all, and_all)
+    stats = res.freq_stats()
+    assert set(stats) == set(uniq)
+    for c, freqs in uniq.items():
+        mean, modus, n = stats[c]
+        assert n == len(freqs)
+        assert abs(mean - sum(freqs) / len(freqs)) < 1e-9
+        occ = Counter(freqs)
+        best = max(occ.values())
+        assert modus == min(v for v, k in occ.items() if k == best)
+
+
+def test_wide_device_hash_path(setup):
+    index, matrix, keys, qcounts = setup
+    engine = QueryEngine(index)
+    res = engine.search_keys(keys, qcounts=qcounts)
+    _check(res, *_oracle(index, matrix, keys, qcounts))
+
+
+def test_wide_rows_path(setup):
+    index, matrix, keys, qcounts = setup
+    engine = QueryEngine(index)
+    rows = engine.rows_for_keys(keys)
+    res = engine.search_keys(None, qcounts=qcounts, rows_all=rows)
+    _check(res, *_oracle(index, matrix, keys, qcounts))
