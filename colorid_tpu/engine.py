@@ -163,10 +163,10 @@ class QueryEngine:
             size = _round_up(m, chunk) if m > chunk else _round_up(m, 16384)
             csize = chunk if m > chunk else size
             if m == size:
-                qc = np.maximum(qcounts[start:stop], 1)
+                qc = np.minimum(np.maximum(qcounts[start:stop], 1), 65535).astype(np.uint16)
             else:
-                qc = np.zeros(size, dtype=np.int32)
-                qc[:m] = np.maximum(qcounts[start:stop], 1)
+                qc = np.zeros(size, dtype=np.uint16)
+                qc[:m] = np.minimum(np.maximum(qcounts[start:stop], 1), 65535)
             if packed_all is not None:
                 if m == size:  # full segment: zero-copy contiguous view
                     pk = packed_all[start:stop]
@@ -182,6 +182,7 @@ class QueryEngine:
                     self.blocks2,
                     jnp.asarray(pk),
                     jnp.asarray(qc),
+                    jnp.int32(start),
                     wpad=self.wpad,
                     chunk=csize,
                     k=k,
@@ -193,8 +194,6 @@ class QueryEngine:
             rows[:m] = rows_all[start:stop]
             mask = np.zeros(size, dtype=bool)
             mask[:m] = True
-            qc2 = np.zeros(size, dtype=np.int32)
-            qc2[:m] = qcounts[start:stop]
             stats, hist, oc_buf, of_buf = query_accumulate_scan(
                 stats,
                 hist,
@@ -203,7 +202,8 @@ class QueryEngine:
                 self.blocks2,
                 jnp.asarray(rows),
                 jnp.asarray(mask),
-                jnp.asarray(qc2),
+                jnp.asarray(qc),
+                jnp.int32(start),
                 wpad=self.wpad,
                 chunk=csize,
             )
@@ -216,7 +216,10 @@ class QueryEngine:
         if n_over:
             kp = min(_round_up(n_over, 1024), capO)
             over_c = np.asarray(oc_buf[:kp])[:n_over]
-            over_f = np.asarray(of_buf[:kp])[:n_over]
+            over_idx = np.asarray(of_buf[:kp])[:n_over]
+            # exact frequencies resolved from the host copy (device sees
+            # uint16-clipped values; overflow entries carry the k-mer index)
+            over_f = qcounts[over_idx].astype(np.int32)
         else:
             over_c = none
             over_f = none

@@ -132,8 +132,13 @@ FREQ_CAP = 1024  # per-color on-device frequency histogram width
 
 
 def _accumulate_one(
-    stats, hist, over_col, over_freq, blocks2, rows, mask, qcounts, wpad
+    stats, hist, over_col, over_freq, blocks2, rows, mask, qcounts, wpad,
+    base_idx,
 ):
+    """qcounts: int32 frequencies clipped to 65535 by the caller. Values
+    >= FREQ_CAP route to the overflow list, which records the k-mer's GLOBAL
+    index (base_idx + local); the host resolves exact frequencies from its
+    own copy, so uint16 host transfer loses nothing."""
     N = rows.shape[0]
     W = wpad
     C = stats.shape[0] - W - 2
@@ -163,7 +168,8 @@ def _accumulate_one(
     pos = jnp.cumsum(big) - 1
     to = jnp.where(big, n_over_before + pos, capO)
     over_col = over_col.at[to].set(coloridx, mode="drop")
-    over_freq = over_freq.at[to].set(qcounts, mode="drop")
+    gidx = jnp.arange(N, dtype=jnp.int32) + base_idx
+    over_freq = over_freq.at[to].set(gidx, mode="drop")
     n_over_new = big.sum().astype(jnp.int32)
 
     new_counts = stats[:C] + counts
@@ -189,7 +195,8 @@ def query_accumulate_scan(
     blocks2: jnp.ndarray,
     rows: jnp.ndarray,  # int32 [n_pad, H], n_pad % chunk == 0
     mask: jnp.ndarray,  # bool [n_pad]
-    qcounts: jnp.ndarray,  # int32 [n_pad]
+    qcounts: jnp.ndarray,  # uint16 [n_pad], clipped frequencies
+    base0: jnp.ndarray,  # int32 [] global index of rows[0]
     *,
     wpad: int,
     chunk: int,
@@ -203,17 +210,19 @@ def query_accumulate_scan(
     rows_c = rows.reshape(n_chunks, chunk, rows.shape[1])
     mask_c = mask.reshape(n_chunks, chunk)
     qc_c = qcounts.reshape(n_chunks, chunk)
+    bases = base0 + jnp.arange(n_chunks, dtype=jnp.int32) * np.int32(chunk)
 
     def step(carry, xs):
         stats, hist, over_col, over_freq = carry
-        r, m, q = xs
+        r, m, q, b = xs
         stats, hist, over_col, over_freq = _accumulate_one(
-            stats, hist, over_col, over_freq, blocks2, r, m, q, wpad
+            stats, hist, over_col, over_freq, blocks2, r, m,
+            q.astype(jnp.int32), wpad, b,
         )
         return (stats, hist, over_col, over_freq), 0
 
     (stats, hist, over_col, over_freq), _ = jax.lax.scan(
-        step, (stats, hist, over_col, over_freq), (rows_c, mask_c, qc_c)
+        step, (stats, hist, over_col, over_freq), (rows_c, mask_c, qc_c, bases)
     )
     return stats, hist, over_col, over_freq
 
@@ -230,7 +239,8 @@ def query_accumulate_hash_scan(
     over_freq: jnp.ndarray,
     blocks2: jnp.ndarray,
     packed: jnp.ndarray,  # uint32 [n_pad, 2] 2-bit packed canonical k-mers
-    qcounts: jnp.ndarray,  # int32 [n_pad]; 0 marks padding
+    qcounts: jnp.ndarray,  # uint16 [n_pad], clipped; 0 marks padding
+    base0: jnp.ndarray,  # int32 [] global index of packed[0]
     *,
     wpad: int,
     chunk: int,
@@ -240,17 +250,18 @@ def query_accumulate_hash_scan(
 ):
     """Fully fused streaming query: device-side XXH3 (ops/hash_jax.py) +
     gather/AND/count accumulation, one dispatch per segment. The host ships
-    only 12 bytes per k-mer (8B packed k-mer + 4B frequency)."""
+    only 10 bytes per k-mer (8B packed k-mer + 2B clipped frequency)."""
     from .hash_jax import _limbs_from_packed, _mod_barrett, _xxh3_device
 
     n = packed.shape[0]
     n_chunks = n // chunk
     p_c = packed.reshape(n_chunks, chunk, 2)
     qc_c = qcounts.reshape(n_chunks, chunk)
+    bases = base0 + jnp.arange(n_chunks, dtype=jnp.int32) * np.int32(chunk)
 
     def step(carry, xs):
         stats, hist, over_col, over_freq = carry
-        p, q = xs
+        p, q, b = xs
         limbs = _limbs_from_packed(p[:, 0], p[:, 1], k)
         rows = jnp.stack(
             [
@@ -261,14 +272,15 @@ def query_accumulate_hash_scan(
             ],
             axis=1,
         )
-        mask = q > 0
+        q32 = q.astype(jnp.int32)
+        mask = q32 > 0
         stats, hist, over_col, over_freq = _accumulate_one(
-            stats, hist, over_col, over_freq, blocks2, rows, mask, q, wpad
+            stats, hist, over_col, over_freq, blocks2, rows, mask, q32, wpad, b
         )
         return (stats, hist, over_col, over_freq), 0
 
     (stats, hist, over_col, over_freq), _ = jax.lax.scan(
-        step, (stats, hist, over_col, over_freq), (p_c, qc_c)
+        step, (stats, hist, over_col, over_freq), (p_c, qc_c, bases)
     )
     return stats, hist, over_col, over_freq
 

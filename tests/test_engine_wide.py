@@ -88,3 +88,14 @@ def test_wide_rows_path(setup):
     rows = engine.rows_for_keys(keys)
     res = engine.search_keys(None, qcounts=qcounts, rows_all=rows)
     _check(res, *_oracle(index, matrix, keys, qcounts))
+
+
+def test_huge_frequencies_exact(setup):
+    """Frequencies beyond uint16 must survive exactly via the index-resolved
+    overflow path."""
+    index, matrix, keys, _ = setup
+    rng = np.random.default_rng(7)
+    qcounts = rng.integers(1, 500_000, keys.shape[0]).astype(np.int32)
+    engine = QueryEngine(index)
+    res = engine.search_keys(keys, qcounts=qcounts)
+    _check(res, *_oracle(index, matrix, keys, qcounts))
