@@ -52,11 +52,14 @@ def _build(args: argparse.Namespace) -> None:
         cutoff=args.filter,
         checkpoint_dir=args.checkpoint,
         device=args.device_build,
+        blocked=args.blocked,
     )
     print("Saving BIGSI to file.")
     ext = ".mxi" if args.minimizer else ".bxi"
     path = args.bigsi + ext
     if args.ref_format:
+        if args.blocked:
+            raise SystemExit("--ref-format and --blocked are incompatible")
         write_bxi(index, path)
     else:
         index.save(path)
@@ -192,6 +195,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="directory for per-accession build checkpoints (resume)")
     b.add_argument("--device-build", action="store_true",
                    help="run the scatter-OR index construction on the accelerator")
+    b.add_argument("--blocked", action="store_true",
+                   help="turbo layout: all hashes of a k-mer in one 512B block "
+                        "(one HBM fetch per k-mer; not reference-bit-compatible)")
     b.set_defaults(func=_build)
 
     s = sub.add_parser("search", help="bigsi search on fasta/fastq.gz files")

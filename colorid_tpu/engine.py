@@ -79,6 +79,8 @@ class QueryEngine:
         self.chunk = chunk
         blocks, self.wpad = pack_matrix_blocks(np.asarray(index.matrix))
         self.blocks2 = jnp.asarray(blocks)
+        # blocked (turbo) layout: one 512B block per k-mer (ops/blocked.py)
+        self.rpb = (128 // self.wpad) if index.blocked else 0
         if index.bloom_size * self.wpad >= 2**31:
             raise ValueError(
                 "bloom_size * padded_row_words >= 2^31 unsupported (int32 "
@@ -89,6 +91,12 @@ class QueryEngine:
 
     def rows_for_keys(self, keys: np.ndarray) -> np.ndarray:
         """XXH3 row indices [N, H] for canonical k-mer byte rows [N, k]."""
+        if self.rpb:
+            from .ops.blocked import blocked_rows_host
+
+            return blocked_rows_host(
+                keys, self.index.num_hash, self.index.bloom_size, self.rpb
+            ).astype(np.int32)
         if keys.shape[0] and native.available():
             return native.xxh3_rows(
                 keys, self.index.num_hash, self.index.bloom_size
@@ -188,6 +196,7 @@ class QueryEngine:
                     k=k,
                     num_hash=self.index.num_hash,
                     bloom_size=self.index.bloom_size,
+                    rpb=self.rpb,
                 )
                 continue
             rows = np.zeros((size, self.index.num_hash), dtype=np.int32)
@@ -206,6 +215,7 @@ class QueryEngine:
                 jnp.int32(start),
                 wpad=self.wpad,
                 chunk=csize,
+                rpb=self.rpb,
             )
         st = np.asarray(stats)
         counts += st[:C].astype(np.int64)
@@ -298,6 +308,7 @@ class QueryEngine:
                 k=k,
                 num_hash=self.index.num_hash,
                 bloom_size=self.index.bloom_size,
+                rpb=self.rpb,
             )
             out[r0:r1] = np.asarray(report)[: r1 - r0]
         return out
@@ -341,6 +352,7 @@ class QueryEngine:
                 start_sample=start_sample,
                 num_colors=C,
                 wpad=self.wpad,
+                rpb=self.rpb,
             )
             out[r0:r1] = np.asarray(report)[: r1 - r0]
         return out

@@ -37,6 +37,9 @@ class BigsiIndex:
     colors: list[str]  # color id -> accession (dense, sorted at build)
     n_ref_kmers: dict[str, int]
     matrix: np.ndarray  # uint32 [bloom_size, W]
+    blocked: bool = False  # turbo layout: all H rows of a k-mer share one
+    # 512-byte block (single fetch per k-mer; not bit-compatible with the
+    # reference's hash placement — see ops/blocked.py)
 
     @property
     def n_colors(self) -> int:
@@ -60,6 +63,7 @@ class BigsiIndex:
             "colors": self.colors,
             "n_ref_kmers": self.n_ref_kmers,
             "words_per_row": int(self.matrix.shape[1]),
+            "blocked": self.blocked,
         }
         hjson = json.dumps(header).encode("utf-8")
         with open(path, "wb") as f:
@@ -96,6 +100,7 @@ class BigsiIndex:
             colors=header["colors"],
             n_ref_kmers={k: int(v) for k, v in header["n_ref_kmers"].items()},
             matrix=matrix,
+            blocked=bool(header.get("blocked", False)),
         )
 
 
@@ -175,6 +180,11 @@ def read_bxi(path: str) -> BigsiIndex:
 def write_bxi(index: BigsiIndex, path: str) -> None:
     """Write a reference-compatible bincode .bxi/.mxi (rows sorted; the
     reference serializes HashMap order, which is irrelevant on read)."""
+    if index.blocked:
+        raise ValueError(
+            "blocked (turbo) indexes use a different hash placement and "
+            "cannot be exported to the reference format"
+        )
     out = bytearray()
 
     def u64(v: int) -> None:

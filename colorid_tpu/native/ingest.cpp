@@ -560,3 +560,14 @@ extern "C" int64_t ct_read_sets_packed(
     if (total > cap) return -1 - total;
     return total;
 }
+
+extern "C" void ct_xxh3_hash64(const uint8_t* keys, int64_t n, int32_t klen,
+                               int32_t num_hash, uint64_t* out) {
+    // raw seeded XXH3-64 digests (blocked-mode row derivation needs the
+    // full hash, not hash % bloom)
+    for (int64_t i = 0; i < n; i++) {
+        const uint8_t* key = keys + i * klen;
+        for (int32_t h = 0; h < num_hash; h++)
+            out[i * num_hash + h] = ct_xxh3_64(key, klen, (uint64_t)h);
+    }
+}

@@ -81,9 +81,50 @@ def _gather_rows(blocks2: jnp.ndarray, rows: jnp.ndarray, wpad: int):
     return vals.reshape(N, H, wpad)
 
 
-def _and_present(blocks2, rows, wpad: int):
+def _gather_rows_blocked(blocks2, rows, wpad: int, rpb: int):
+    """Blocked layout: the H rows of a k-mer share one block (ops/blocked.py),
+    so one block gather serves all hashes."""
+    N, H = rows.shape
+    block = (rows[:, 0] // np.int32(rpb)).astype(jnp.int32)  # [N]
+    offs = (rows % np.int32(rpb)).astype(jnp.int32)  # [N, H]
+    n_chunks = 8 if N % 8 == 0 else 1
+    lanes = jnp.arange(128, dtype=jnp.int32)[None, :]
+
+    def chunk(carry, xs):
+        blk, off = xs  # [CP], [CP, H]
+        b = jnp.take(blocks2, blk, axis=0)  # [CP, 128]
+        outs_h = []
+        for h in range(H):
+            lane0 = off[:, h] * np.int32(wpad)
+            outs_h.append(
+                jnp.stack(
+                    [
+                        (
+                            b
+                            * (lanes == (lane0 + w)[:, None]).astype(jnp.uint32)
+                        ).sum(axis=1, dtype=jnp.uint32)
+                        for w in range(wpad)
+                    ],
+                    axis=1,
+                )
+            )
+        return carry, jnp.stack(outs_h, axis=1)  # [CP, H, wpad]
+
+    _, vals = jax.lax.scan(
+        chunk,
+        0,
+        (block.reshape(n_chunks, N // n_chunks),
+         offs.reshape(n_chunks, N // n_chunks, H)),
+    )
+    return vals.reshape(N, H, wpad)
+
+
+def _and_present(blocks2, rows, wpad: int, rpb: int = 0):
     """AND over the hash axis + row-presence, via the fast gather."""
-    g = _gather_rows(blocks2, rows, wpad)  # [N, H, wpad]
+    if rpb:
+        g = _gather_rows_blocked(blocks2, rows, wpad, rpb)
+    else:
+        g = _gather_rows(blocks2, rows, wpad)  # [N, H, wpad]
     present = (g != 0).any(axis=2).all(axis=1)
     andw = g[:, 0, :]
     for h in range(1, g.shape[1]):
@@ -91,8 +132,8 @@ def _and_present(blocks2, rows, wpad: int):
     return andw, present
 
 
-@partial(jax.jit, static_argnames=("wpad",))
-def query_batch(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray, *, wpad: int):
+@partial(jax.jit, static_argnames=("wpad", "rpb"))
+def query_batch(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray, *, wpad: int, rpb: int = 0):
     """Score one batch of k-mers against the index.
 
     Args:
@@ -111,7 +152,7 @@ def query_batch(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray, *, w
                                 (perfect-search global intersection)
       all_valid:  bool  []      every real k-mer had all rows present
     """
-    andw, present = _and_present(blocks2, rows, wpad)
+    andw, present = _and_present(blocks2, rows, wpad, rpb)
     valid = present & mask
     bits = _unpack_bits(andw)  # [N, C']
     vbits = bits * valid[:, None].astype(jnp.int32)
@@ -128,12 +169,36 @@ def query_batch(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray, *, w
     return counts, uniq_color, valid, and_all, all_valid
 
 
+def _device_rows(limbs, k: int, num_hash: int, bloom_size: int, rpb: int):
+    """Bloom rows from on-device XXH3: independent rows (rpb=0) or the
+    blocked placement of ops/blocked.py (rpb>0, power of two)."""
+    from .hash_jax import _mod_barrett, _xxh3_device
+
+    hashes = [_xxh3_device(limbs, k, seed) for seed in range(num_hash)]
+    if rpb == 0:
+        return jnp.stack(
+            [
+                _mod_barrett(h, bloom_size).astype(jnp.int32)
+                for h in hashes
+            ],
+            axis=1,
+        )
+    n_blocks = bloom_size // rpb
+    mask_rpb = jnp.uint32(rpb - 1)
+    block = _mod_barrett(hashes[0], n_blocks).astype(jnp.int32)
+    base = block * np.int32(rpb)
+    offs = [(hashes[0][1] & mask_rpb).astype(jnp.int32)]  # high limb bits
+    for h in hashes[1:]:
+        offs.append((h[0] & mask_rpb).astype(jnp.int32))  # low limb bits
+    return jnp.stack([base + o for o in offs], axis=1)
+
+
 FREQ_CAP = 1024  # per-color on-device frequency histogram width
 
 
 def _accumulate_one(
     stats, hist, over_col, over_freq, blocks2, rows, mask, qcounts, wpad,
-    base_idx,
+    base_idx, rpb=0,
 ):
     """qcounts: int32 frequencies clipped to 65535 by the caller. Values
     >= FREQ_CAP route to the overflow list, which records the k-mer's GLOBAL
@@ -142,7 +207,7 @@ def _accumulate_one(
     N = rows.shape[0]
     W = wpad
     C = stats.shape[0] - W - 2
-    andw, present = _and_present(blocks2, rows, wpad)
+    andw, present = _and_present(blocks2, rows, wpad, rpb)
     valid = present & mask
     bits = _unpack_bits(andw)[:, :C]
     vbits = bits * valid[:, None].astype(jnp.int32)
@@ -186,7 +251,7 @@ def _accumulate_one(
     return stats, hist, over_col, over_freq
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("wpad", "chunk"))
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("wpad", "chunk", "rpb"))
 def query_accumulate_scan(
     stats: jnp.ndarray,
     hist: jnp.ndarray,
@@ -200,6 +265,7 @@ def query_accumulate_scan(
     *,
     wpad: int,
     chunk: int,
+    rpb: int = 0,
 ):
     """Whole-query accumulation in ONE device call: an internal lax.scan
     walks fixed-size chunks so arbitrarily large k-mer batches cost a single
@@ -217,7 +283,7 @@ def query_accumulate_scan(
         r, m, q, b = xs
         stats, hist, over_col, over_freq = _accumulate_one(
             stats, hist, over_col, over_freq, blocks2, r, m,
-            q.astype(jnp.int32), wpad, b,
+            q.astype(jnp.int32), wpad, b, rpb,
         )
         return (stats, hist, over_col, over_freq), 0
 
@@ -230,7 +296,7 @@ def query_accumulate_scan(
 @partial(
     jax.jit,
     donate_argnums=(0, 1, 2, 3),
-    static_argnames=("wpad", "chunk", "k", "num_hash", "bloom_size"),
+    static_argnames=("wpad", "chunk", "k", "num_hash", "bloom_size", "rpb"),
 )
 def query_accumulate_hash_scan(
     stats: jnp.ndarray,
@@ -247,6 +313,7 @@ def query_accumulate_hash_scan(
     k: int,
     num_hash: int,
     bloom_size: int,
+    rpb: int = 0,
 ):
     """Fully fused streaming query: device-side XXH3 (ops/hash_jax.py) +
     gather/AND/count accumulation, one dispatch per segment. The host ships
@@ -263,19 +330,12 @@ def query_accumulate_hash_scan(
         stats, hist, over_col, over_freq = carry
         p, q, b = xs
         limbs = _limbs_from_packed(p[:, 0], p[:, 1], k)
-        rows = jnp.stack(
-            [
-                _mod_barrett(_xxh3_device(limbs, k, seed), bloom_size).astype(
-                    jnp.int32
-                )
-                for seed in range(num_hash)
-            ],
-            axis=1,
-        )
+        rows = _device_rows(limbs, k, num_hash, bloom_size, rpb)
         q32 = q.astype(jnp.int32)
         mask = q32 > 0
         stats, hist, over_col, over_freq = _accumulate_one(
-            stats, hist, over_col, over_freq, blocks2, rows, mask, q32, wpad, b
+            stats, hist, over_col, over_freq, blocks2, rows, mask, q32, wpad,
+            b, rpb,
         )
         return (stats, hist, over_col, over_freq), 0
 
@@ -288,7 +348,7 @@ def query_accumulate_hash_scan(
 PAD_POS = np.int32(2**30)  # kmer_pos for padding slots: never counted
 
 
-@partial(jax.jit, static_argnames=("num_reads", "start_sample", "num_colors", "wpad"))
+@partial(jax.jit, static_argnames=("num_reads", "start_sample", "num_colors", "wpad", "rpb"))
 def query_readid_batch(
     blocks2: jnp.ndarray,
     rows: jnp.ndarray,
@@ -299,6 +359,7 @@ def query_readid_batch(
     start_sample: int,
     num_colors: int,
     wpad: int,
+    rpb: int = 0,
 ):
     """Per-read hit-count matrix for the read classifier (read_id).
 
@@ -329,16 +390,16 @@ def query_readid_batch(
     return _readid_core(
         blocks2, rows, seg_ids, kmer_pos,
         num_reads=num_reads, start_sample=start_sample,
-        num_colors=num_colors, wpad=wpad,
+        num_colors=num_colors, wpad=wpad, rpb=rpb,
     )
 
 
 def _readid_core(
     blocks2, rows, seg_ids, kmer_pos, *, num_reads, start_sample,
-    num_colors, wpad,
+    num_colors, wpad, rpb=0,
 ):
     n_reads = num_reads
-    andw, present_all = _and_present(blocks2, rows, wpad)
+    andw, present_all = _and_present(blocks2, rows, wpad, rpb)
     valid = present_all
     bits = _unpack_bits(andw)[:, :num_colors]  # [N, C]
 
@@ -379,7 +440,7 @@ def _readid_core(
     jax.jit,
     static_argnames=(
         "num_reads", "start_sample", "num_colors", "wpad", "k", "num_hash",
-        "bloom_size",
+        "bloom_size", "rpb",
     ),
 )
 def query_readid_hash_batch(
@@ -395,28 +456,21 @@ def query_readid_hash_batch(
     k: int,
     num_hash: int,
     bloom_size: int,
+    rpb: int = 0,
 ):
     """query_readid_batch with on-device XXH3: the host ships 12B per k-mer
     (packed key + int16 seg/pos) instead of 24B."""
-    from .hash_jax import _limbs_from_packed, _mod_barrett, _xxh3_device
+    from .hash_jax import _limbs_from_packed
 
     limbs = _limbs_from_packed(packed[:, 0], packed[:, 1], k)
-    rows = jnp.stack(
-        [
-            _mod_barrett(_xxh3_device(limbs, k, seed), bloom_size).astype(
-                jnp.int32
-            )
-            for seed in range(num_hash)
-        ],
-        axis=1,
-    )
+    rows = _device_rows(limbs, k, num_hash, bloom_size, rpb)
     seg_ids = seg_ids16.astype(jnp.int32)
     p16 = kmer_pos16.astype(jnp.int32)
     kmer_pos = jnp.where(p16 < 0, jnp.int32(PAD_POS), p16)
     return _readid_core(
         blocks2, rows, seg_ids, kmer_pos,
         num_reads=num_reads, start_sample=start_sample,
-        num_colors=num_colors, wpad=wpad,
+        num_colors=num_colors, wpad=wpad, rpb=rpb,
     )
 
 

@@ -33,6 +33,11 @@ class ShardedQueryEngine:
     ):
         import jax
 
+        if index.blocked:
+            raise NotImplementedError(
+                "blocked (turbo) indexes are single-device for now; shard "
+                "support lands with per-shard block layouts"
+            )
         self.index = index
         self.layout = layout
         self.chunk = chunk

@@ -158,6 +158,7 @@ def build_index(
     verbose: bool = True,
     device: bool = False,
     checkpoint_dir: str | None = None,
+    blocked: bool = False,
 ) -> BigsiIndex:
     """Build the dense bit-slice index (build.rs:132-256 semantics).
 
@@ -174,6 +175,13 @@ def build_index(
     accessions = sorted(ref_map.keys())
     C = len(accessions)
     W = (C + 31) // 32
+    rpb = 0
+    if blocked:
+        from ..ops.blocked import pad_bloom_size, rows_per_block
+
+        wpad = 1 << (max(W, 1) - 1).bit_length()
+        rpb = rows_per_block(wpad)
+        bloom_size = pad_bloom_size(bloom_size)
     n_ref_kmers: dict[str, int] = {}
     row_lists: list[np.ndarray] = []
     matrix = None if device else np.zeros((bloom_size, W), dtype=np.uint32)
@@ -209,7 +217,12 @@ def build_index(
                 )
             n_ref_kmers[acc] = keys.shape[0]
             if keys.shape[0] == 0:
-                rows = np.zeros((0, num_hash), dtype=np.int32)
+                rows = np.zeros((0, num_hash), dtype=np.int64)
+            elif rpb:
+                from ..ops.blocked import blocked_rows_host
+
+                with span(f"build:hash:{acc}"):
+                    rows = blocked_rows_host(keys, num_hash, bloom_size, rpb)
             else:
                 with span(f"build:hash:{acc}"):
                     rows = _hash_rows(keys, num_hash, bloom_size)
@@ -242,4 +255,5 @@ def build_index(
         colors=accessions,
         n_ref_kmers=n_ref_kmers,
         matrix=matrix,
+        blocked=blocked,
     )

@@ -66,6 +66,10 @@ def _prepare_native(batch, todo_idx, index, d, packed_ok):
         got = native.read_sets_packed(concat, offs, nseqs, k, d, m)
         if got is not None:
             return ("packed",) + got
+    if index.blocked:
+        # the C++ rows fallback computes independent-row placement; blocked
+        # indexes must go through the packed (device-hash) or python path
+        return None
     got = native.read_sets(
         concat, offs, nseqs, k, d, m, index.num_hash, index.bloom_size
     )
