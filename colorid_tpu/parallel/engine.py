@@ -33,11 +33,6 @@ class ShardedQueryEngine:
     ):
         import jax
 
-        if index.blocked:
-            raise NotImplementedError(
-                "blocked (turbo) indexes are single-device for now; shard "
-                "support lands with per-shard block layouts"
-            )
         self.index = index
         self.layout = layout
         self.chunk = chunk
@@ -58,6 +53,17 @@ class ShardedQueryEngine:
     def _rows(self, keys: np.ndarray) -> np.ndarray:
         from .. import native
 
+        if self.index.blocked:
+            # blocked placement still yields plain row indices; the sharded
+            # kernels gather generically (the single-fetch fast path is a
+            # single-device specialization)
+            from ..ops.blocked import blocked_rows_host, rows_per_block
+
+            wpad = 1 << (max(self.index.words_per_row, 1) - 1).bit_length()
+            rpb = rows_per_block(wpad)
+            return blocked_rows_host(
+                keys, self.index.num_hash, self.index.bloom_size, rpb
+            ).astype(np.int32)
         if keys.shape[0] and native.available():
             return native.xxh3_rows(
                 keys, self.index.num_hash, self.index.bloom_size

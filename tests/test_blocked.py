@@ -102,3 +102,34 @@ def test_blocked_refuses_ref_format():
                      np.zeros((128, 1), np.uint32), blocked=True)
     with pytest.raises(ValueError):
         write_bxi(idx, "/tmp/should_not_exist.bxi")
+
+
+def test_blocked_sharded_matches_single(tmp_path):
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    from colorid_tpu.parallel import sharded
+    from colorid_tpu.parallel.engine import ShardedQueryEngine
+
+    ref_map = {
+        f"B{n}": [f"{REFS}/Listeria_phage_B{n}.fasta"]
+        for n in ["021", "051", "056", "545"]
+    }
+    index = build_index(ref_map, 200_000, 4, 27, verbose=False, blocked=True)
+    g = read_fasta(f"{REFS}/Listeria_phage_B056.fasta")
+    from colorid_tpu.core.dna import to_bytes
+    from colorid_tpu.core.kmers import canonical_windows, unique_rows
+
+    w = canonical_windows(
+        to_bytes("".join(g)[:30000]), 27, skip_n=True, uppercase=True
+    )
+    keys, counts = unique_rows(w)
+    qc = counts.astype(np.int32)
+    want = QueryEngine(index).search_keys(keys, qcounts=qc)
+    mesh = sharded.make_mesh(2, 2, "row")
+    got = ShardedQueryEngine(index, mesh=mesh, layout="row", chunk=8192).search_keys(
+        keys, qcounts=qc
+    )
+    np.testing.assert_array_equal(got.counts, want.counts)
+    assert got.freq_stats() == want.freq_stats()
