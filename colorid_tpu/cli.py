@@ -53,6 +53,7 @@ def _build(args: argparse.Namespace) -> None:
         checkpoint_dir=args.checkpoint,
         device=args.device_build,
         blocked=args.blocked,
+        threads=max(args.threads, 1),
     )
     print("Saving BIGSI to file.")
     ext = ".mxi" if args.minimizer else ".bxi"

@@ -159,6 +159,7 @@ def build_index(
     device: bool = False,
     checkpoint_dir: str | None = None,
     blocked: bool = False,
+    threads: int = 1,
 ) -> BigsiIndex:
     """Build the dense bit-slice index (build.rs:132-256 semantics).
 
@@ -187,6 +188,39 @@ def build_index(
     matrix = None if device else np.zeros((bloom_size, W), dtype=np.uint32)
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
+    counted: dict[str, np.ndarray] = {}
+    if threads > 1:
+        # parallel per-accession counting (the reference's rayon par_iter,
+        # build.rs:167-217); the C++ counter releases the GIL. Accessions
+        # already covered by a checkpoint are skipped.
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = [
+            acc
+            for acc in accessions
+            if not (
+                checkpoint_dir
+                and os.path.exists(
+                    os.path.join(checkpoint_dir, _safe_name(acc) + ".bloom.npz")
+                )
+            )
+        ]
+        if verbose and todo:
+            print(
+                f"Inference of Bloom filters in parallel using {threads} "
+                "threads.",
+                file=sys.stderr,
+            )
+
+        def one(acc: str):
+            keys, _ = accession_kmers(
+                ref_map[acc], k_size, quality, cutoff, m_size
+            )
+            return acc, keys
+
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            for acc, keys in ex.map(one, todo):
+                counted[acc] = keys
     for i, acc in enumerate(accessions):
         if verbose:
             print(f"Adding {acc} to index ({i + 1}/{C})", file=sys.stderr)
@@ -211,10 +245,13 @@ def build_index(
                 if verbose:
                     print(f"  (resumed from checkpoint)", file=sys.stderr)
         if bloom is None:
-            with span(f"build:count:{acc}"):
-                keys, _counts = accession_kmers(
-                    ref_map[acc], k_size, quality, cutoff, m_size
-                )
+            if acc in counted:
+                keys = counted.pop(acc)
+            else:
+                with span(f"build:count:{acc}"):
+                    keys, _counts = accession_kmers(
+                        ref_map[acc], k_size, quality, cutoff, m_size
+                    )
             n_ref_kmers[acc] = keys.shape[0]
             if keys.shape[0] == 0:
                 rows = np.zeros((0, num_hash), dtype=np.int64)

@@ -28,13 +28,49 @@ from typing import Iterator
 import numpy as np
 
 from ..core.dna import to_bytes
-from ..core.fastx import stream_fasta_records, stream_fastq, stream_fastq_pe
+from ..core.fastx import (
+    stream_fasta_records,
+    stream_fastq_pe_raw,
+    stream_fastq_raw,
+)
 from ..core.kmers import kmer_set
 from ..core.stats import false_prob, not_fp_significant_mask
 from ..engine import QueryEngine
 from .reports import read_counts_five_fields
 
 Classification = tuple[str, str, int, int, str, int]
+
+
+def _mask_batch(batch, qual_offset: int):
+    """Vectorized phred masking over a whole batch: one numpy pass instead
+    of per-read qual_mask calls (seq.rs:36-56 semantics: output length =
+    qual length; sequence shorter than quality raises like the reference
+    panics)."""
+    if qual_offset == 0:
+        return [(rid, list(seqs)) for rid, seqs, _quals in batch]
+    cutoff = np.uint8(qual_offset + 33)
+    parts_s: list[np.ndarray] = []
+    parts_q: list[np.ndarray] = []
+    lens: list[int] = []
+    for _rid, seqs, quals in batch:
+        for s, q in zip(seqs, quals):
+            if len(s) < len(q):
+                raise ValueError("sequence shorter than quality string")
+            parts_s.append(s[: len(q)])
+            parts_q.append(q)
+            lens.append(len(q))
+    if not parts_s:
+        return [(rid, []) for rid, _s, _q in batch]
+    big_s = np.concatenate(parts_s)
+    big_q = np.concatenate(parts_q)
+    masked = np.where(big_q < cutoff, np.uint8(ord("N")), big_s)
+    views = np.split(masked, np.cumsum(lens)[:-1])
+    out = []
+    j = 0
+    for rid, seqs, _quals in batch:
+        out.append((rid, views[j : j + len(seqs)]))
+        j += len(seqs)
+    return out
 
 
 def _prepare_native(batch, todo_idx, index, d, packed_ok):
@@ -168,7 +204,7 @@ def classify_batch(
 
 
 def _run_stream(
-    reads: Iterator[tuple[str, list[np.ndarray]]],
+    reads: Iterator,
     engine: QueryEngine,
     d: int,
     fp_correct: float,
@@ -176,15 +212,21 @@ def _run_stream(
     b: int,
     prefix: str,
     what: str,
+    qual_offset: int | None = None,
 ) -> int:
     t0 = time.time()
     read_count = 0
-    batch: list[tuple[str, list[np.ndarray]]] = []
+    batch: list = []
     with open(f"{prefix}_reads.txt", "w") as f:
 
         def flush() -> None:
             nonlocal read_count
-            c = classify_batch(batch, engine, d, fp_correct, start_sample)
+            masked = (
+                _mask_batch(batch, qual_offset)
+                if qual_offset is not None
+                else batch
+            )
+            c = classify_batch(masked, engine, d, fp_correct, start_sample)
             read_count += len(c)
             print(f"{read_count} {what} classified\r", end="", file=sys.stderr)
             for row in c:
@@ -214,11 +256,12 @@ def per_read_stream_pe(
     start_sample: int,
 ) -> int:
     reads = (
-        (rid, [s1, s2])
-        for rid, s1, s2 in stream_fastq_pe(files[0], files[1], qual_offset)
+        (rid, [s1, s2], [q1, q2])
+        for rid, s1, q1, s2, q2 in stream_fastq_pe_raw(files[0], files[1])
     )
     return _run_stream(
-        reads, engine, d, fp_correct, start_sample, b, prefix, "read pairs"
+        reads, engine, d, fp_correct, start_sample, b, prefix, "read pairs",
+        qual_offset=qual_offset,
     )
 
 
@@ -232,9 +275,12 @@ def per_read_stream_se(
     qual_offset: int,
     start_sample: int,
 ) -> int:
-    reads = ((rid, [s]) for rid, s in stream_fastq(files[0], qual_offset))
+    reads = (
+        (rid, [s], [q]) for rid, s, q in stream_fastq_raw(files[0])
+    )
     return _run_stream(
-        reads, engine, d, fp_correct, start_sample, b, prefix, "reads"
+        reads, engine, d, fp_correct, start_sample, b, prefix, "reads",
+        qual_offset=qual_offset,
     )
 
 

@@ -57,3 +57,15 @@ def test_build_checkpoint_resume(tmp_path, monkeypatch):
     monkeypatch.undo()
     c = build_index(ref_map, 80000, 4, 21, verbose=False, checkpoint_dir=ck)
     assert c.num_hash == 4
+
+
+def test_build_threads_matches_serial():
+    ref_map = {
+        "B021": [f"{REFS}/Listeria_phage_B021.fasta"],
+        "B051": [f"{REFS}/Listeria_phage_B051.fasta"],
+        "B056": [f"{REFS}/Listeria_phage_B056.fasta"],
+    }
+    a = build_index(ref_map, 90000, 3, 21, verbose=False)
+    b = build_index(ref_map, 90000, 3, 21, verbose=False, threads=3)
+    np.testing.assert_array_equal(a.matrix, b.matrix)
+    assert a.n_ref_kmers == b.n_ref_kmers
