@@ -289,7 +289,7 @@ class QueryEngine:
             n = hi - lo
             if n == 0:
                 continue
-            size = _round_up(n, 65536)
+            size = max(1 << (int(max(n, 1)) - 1).bit_length(), 65536)
             pk = np.zeros((size, 2), dtype=np.uint32)
             pk[:n] = packed[lo:hi]
             sg = np.zeros(size, dtype=np.int16)
@@ -336,7 +336,7 @@ class QueryEngine:
             n = hi - lo
             if n == 0:
                 continue
-            size = _round_up(n, 65536)
+            size = max(1 << (int(max(n, 1)) - 1).bit_length(), 65536)
             rows_p = np.zeros((size, self.index.num_hash), dtype=np.int32)
             rows_p[:n] = rows[lo:hi]
             seg_p = np.zeros(size, dtype=np.int32)
