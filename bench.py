@@ -69,7 +69,7 @@ def make_query_kmers(index):
     from colorid_tpu.core.dna import to_bytes
     from colorid_tpu.core.fastx import read_fasta
 
-    cache = os.path.join(CACHE, "query_kmers.npz")
+    cache = os.path.join(CACHE, "query_kmers_v2.npz")
     if os.path.exists(cache):
         z = np.load(cache)
         if "packed" in z:
@@ -90,10 +90,11 @@ def make_query_kmers(index):
     for i in range(n_reads):
         g = genomes[int(rng.integers(0, len(genomes)))]
         start = int(rng.integers(0, len(g) - 150))
-        read = g[start : start + 150]
+        read = g[start : start + 150].upper()  # basecallers emit uppercase
         if rng.random() < 0.5:
             read = read.encode().translate(comp)[::-1].decode()
-        nc.add(to_bytes(read))
+        if not nc.add(to_bytes(read)):
+            raise RuntimeError("unexpected fallback in bench read synthesis")
     keys, qcounts = nc.dump(1)  # -f 1 style frequency filter
     packed, _ = nc.dump_packed(1)
     np.savez(cache, keys=keys, qcounts=qcounts, packed=packed)

@@ -73,12 +73,48 @@ def _mask_batch(batch, qual_offset: int):
     return out
 
 
+_LOWER = np.zeros(256, dtype=bool)
+for _c in b"acgt":
+    _LOWER[_c] = True
+
+
+def _split_lowercase(batch, todo_idx):
+    """Indices whose reads contain lowercase acgt (the 2-bit fast path can't
+    represent raw-byte canonical order for mixed case; such reads take the
+    exact numpy path). Vectorized over the whole batch."""
+    seqs = []
+    counts = []
+    for i in todo_idx:
+        mates = batch[i][1]
+        counts.append(len(mates))
+        seqs.extend(mates)
+    if not seqs:
+        return todo_idx, []
+    concat = np.concatenate(seqs)
+    lower = _LOWER[concat]
+    if not lower.any():
+        return todo_idx, []
+    offs = np.cumsum([len(s) for s in seqs])[:-1]
+    per_seq = np.array(
+        [seg.any() for seg in np.split(lower, offs)]
+    )
+    clean, dirty = [], []
+    j = 0
+    for i, nm in zip(todo_idx, counts):
+        if per_seq[j : j + nm].any():
+            dirty.append(i)
+        else:
+            clean.append(i)
+        j += nm
+    return clean, dirty
+
+
 def _prepare_native(batch, todo_idx, index, d, packed_ok):
     """Flattened per-read k-mer arrays via the C++ fast path.
 
     Returns ("packed", packed, seg16, pos16, maplen) when the device-hash
     path applies, ("rows", rows, seg, pos, maplen) otherwise, or None for
-    the exact numpy fallback."""
+    the exact numpy fallback. Callers pass only lowercase-free reads."""
     from .. import native
 
     if not native.available():
@@ -145,12 +181,25 @@ def classify_batch(
     if not todo_idx:
         return out
     packed_ok = index.bloom_size < 2**30
+    # reads containing lowercase bases need the exact byte-order path;
+    # everything else flows through the C++ fast path
+    clean_idx, dirty_idx = _split_lowercase(batch, todo_idx)
+    report_rows: dict[int, np.ndarray] = {}
+    maplen_map: dict[int, int] = {}
+    if dirty_idx:
+        keys_list = [
+            kmer_set(batch[i][1], k, d=d, minimizer=m) for i in dirty_idx
+        ]
+        rep_d = engine.readid_counts(keys_list, start_sample)
+        for j, i in enumerate(dirty_idx):
+            report_rows[i] = rep_d[j]
+            maplen_map[i] = keys_list[j].shape[0]
     # slice the batch so int16 segment ids suffice for the packed path
     report_parts = []
     maplen_parts = []
     GROUP = 16384
-    for g0 in range(0, len(todo_idx), GROUP):
-        group = todo_idx[g0 : g0 + GROUP]
+    for g0 in range(0, len(clean_idx), GROUP):
+        group = clean_idx[g0 : g0 + GROUP]
         prepared = _prepare_native(batch, group, index, d, packed_ok)
         if prepared is not None and prepared[0] == "packed":
             _, packed, seg, pos, maplen = prepared
@@ -170,8 +219,12 @@ def classify_batch(
             rep = engine.readid_counts(keys_list, start_sample)
         report_parts.append(rep)
         maplen_parts.append(np.asarray(maplen))
-    report = np.concatenate(report_parts, axis=0)
-    map_lens = np.concatenate(maplen_parts)
+    for g, (rep, ml) in enumerate(zip(report_parts, maplen_parts)):
+        for j, i in enumerate(clean_idx[g * GROUP : g * GROUP + rep.shape[0]]):
+            report_rows[i] = rep[j]
+            maplen_map[i] = int(ml[j])
+    report = np.stack([report_rows[i] for i in todo_idx], axis=0)
+    map_lens = np.array([maplen_map[i] for i in todo_idx])
     real = report[:, :C].astype(np.int64)
     noh = report[:, C].astype(np.int64)
     mlen = np.asarray(map_lens, dtype=np.int64)

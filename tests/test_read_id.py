@@ -170,3 +170,27 @@ def test_classifier_pe_and_accuracy(setup):
     got = classify_batch(batch, engine, d=1, fp_correct=1e-3, start_sample=3)
     accepted = [r for r in got if r[4] == "accept" and r[1] == "B056"]
     assert len(accepted) >= 45
+
+
+def test_classifier_lowercase_mixed(setup):
+    """Mixed-case reads must route through the exact path per read while the
+    clean reads keep the fast path, with identical results to the oracle."""
+    index, engine = setup
+    rng = np.random.default_rng(11)
+    g = read_fasta(f"{REFS}/Listeria_phage_B056.fasta")[3]
+    batch = []
+    for i in range(30):
+        start = rng.integers(0, len(g) - 120)
+        read = g[start : start + 120]
+        if i % 3 == 0:
+            read = read.lower()
+        elif i % 3 == 1:
+            read = read[:50] + read[50:70].lower() + read[70:]
+        batch.append((f"@m{i}", [to_bytes(read)]))
+    got = classify_batch(batch, engine, d=1, fp_correct=1e-3, start_sample=3)
+    want = [
+        oracle_classify(rid, ["".join(chr(b) for b in s) for s in seqs],
+                        index, 1, 1e-3, 3)
+        for rid, seqs in batch
+    ]
+    assert got == want
