@@ -24,6 +24,11 @@ import os
 import sys
 import time
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "jaxcache"),
+)
+
 import numpy as np
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
@@ -84,16 +89,20 @@ def make_query_kmers(index):
             if f.endswith(".fasta") and os.path.getsize(p) > 1000:
                 genomes.append("".join(read_fasta(p)))
     log(f"synthesizing reads from {len(genomes)} genomes")
+    from colorid_tpu.core.dna import COMP, UPPER
+
     nc = native.NativeCounter(K)
-    comp = bytes.maketrans(b"ACGT", b"TGCA")
     n_reads = 1_000_000
-    for i in range(n_reads):
-        g = genomes[int(rng.integers(0, len(genomes)))]
-        start = int(rng.integers(0, len(g) - 150))
-        read = g[start : start + 150].upper()  # basecallers emit uppercase
-        if rng.random() < 0.5:
-            read = read.encode().translate(comp)[::-1].decode()
-        if not nc.add(to_bytes(read)):
+    gids = rng.integers(0, len(genomes), n_reads)
+    flips = rng.random(n_reads) < 0.5
+    for gi, g in enumerate(genomes):
+        gb = UPPER[np.frombuffer(g.encode(), dtype=np.uint8)]
+        sel = np.nonzero(gids == gi)[0]
+        starts = rng.integers(0, len(gb) - 150, sel.size)
+        reads = gb[starts[:, None] + np.arange(150)]  # [n_i, 150]
+        fl = flips[sel]
+        reads[fl] = COMP[reads[fl][:, ::-1]]  # reverse-complement half
+        if not nc.add_many(reads):
             raise RuntimeError("unexpected fallback in bench read synthesis")
     keys, qcounts = nc.dump(1)  # -f 1 style frequency filter
     packed, _ = nc.dump_packed(1)
@@ -103,6 +112,11 @@ def make_query_kmers(index):
 
 def main():
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     from colorid_tpu.engine import QueryEngine
 

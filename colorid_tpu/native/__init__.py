@@ -76,6 +76,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.ct_counter_add_many.restype = ctypes.c_int32
+        lib.ct_counter_add_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
         lib.ct_counter_unique.restype = ctypes.c_int64
         lib.ct_counter_unique.argtypes = [ctypes.c_void_p]
         lib.ct_counter_counts.restype = None
@@ -157,6 +162,15 @@ class NativeCounter:
         seq = np.ascontiguousarray(seq, dtype=np.uint8)
         r = self._lib.ct_counter_add(
             self._h, seq.ctypes.data, len(seq), d, self.m_size
+        )
+        return r == 0
+
+    def add_many(self, seqs: np.ndarray, d: int = 1) -> bool:
+        """Count a [n, L] uint8 batch of equal-length sequences."""
+        seqs = np.ascontiguousarray(seqs, dtype=np.uint8)
+        n, L = seqs.shape
+        r = self._lib.ct_counter_add_many(
+            self._h, seqs.ctypes.data, n, L, d, self.m_size
         )
         return r == 0
 

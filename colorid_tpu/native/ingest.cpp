@@ -571,3 +571,15 @@ extern "C" void ct_xxh3_hash64(const uint8_t* keys, int64_t n, int32_t klen,
             out[i * num_hash + h] = ct_xxh3_64(key, klen, (uint64_t)h);
     }
 }
+
+extern "C" int32_t ct_counter_add_many(void* h, const uint8_t* seqs,
+                                       int64_t n, int64_t stride,
+                                       int32_t d, int32_t m_size) {
+    // bulk variant: n equal-length rows (one ctypes call per batch)
+    Counter* c = (Counter*)h;
+    for (int64_t i = 0; i < n; i++) {
+        if (ct_counter_add(h, seqs + i * stride, stride, d, m_size)) return 1;
+    }
+    (void)c;
+    return 0;
+}
