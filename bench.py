@@ -110,6 +110,48 @@ def make_query_kmers(index):
     return keys, qcounts, packed
 
 
+def _read_id_stat(engine):
+    """Secondary metric (stderr only): warm read_id throughput on 20k
+    synthetic paired-end reads."""
+    import gzip
+    import time as _t
+
+    from colorid_tpu.core.dna import COMP, UPPER
+    from colorid_tpu.core.fastx import read_fasta
+    from colorid_tpu.pipelines.read_id import read_id
+
+    try:
+        fq1 = os.path.join(CACHE, "rid_r1.fq.gz")
+        fq2 = os.path.join(CACHE, "rid_r2.fq.gz")
+        if not os.path.exists(fq1):
+            rng = np.random.default_rng(7)
+            gs = []
+            for d in (REFS1, REFS2):
+                if not os.path.isdir(d):
+                    continue
+                for f in sorted(os.listdir(d)):
+                    p = os.path.join(d, f)
+                    if f.endswith(".fasta") and os.path.getsize(p) > 1000:
+                        gs.append("".join(read_fasta(p)).upper())
+            comp = bytes.maketrans(b"ACGT", b"TGCA")
+            with gzip.open(fq1, "wt") as f1, gzip.open(fq2, "wt") as f2:
+                for i in range(20000):
+                    g = gs[int(rng.integers(0, len(gs)))]
+                    s = int(rng.integers(0, len(g) - 500))
+                    r1 = g[s : s + 150]
+                    r2 = g[s + 350 : s + 500].encode().translate(comp)[::-1].decode()
+                    f1.write(f"@r{i}\n{r1}\n+\n{'I' * 150}\n")
+                    f2.write(f"@r{i}\n{r2}\n+\n{'I' * 150}\n")
+        out = os.path.join(CACHE, "rid_out")
+        read_id([fq1, fq2], engine, prefix=out)  # warm kernels
+        t0 = _t.time()
+        read_id([fq1, fq2], engine, prefix=out)
+        dt = _t.time() - t0
+        log(f"read_id secondary: 20k PE reads in {dt:.1f}s -> {20000 / dt:.0f} read pairs/s")
+    except Exception as e:
+        log(f"read_id secondary skipped: {e}")
+
+
 def main():
     import jax
 
@@ -151,6 +193,7 @@ def main():
             break
     hits = int(res.counts.sum())
     log(f"total per-color hits {hits}; colors hit {(res.counts > 0).sum()}")
+    _read_id_stat(engine)
     value = keys.shape[0] / best
     print(
         json.dumps(
