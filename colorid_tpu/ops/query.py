@@ -3,11 +3,12 @@
 This is the TPU-native replacement for the reference's per-k-mer row fetch +
 BitVec intersect + bit scan (batch_search_pe.rs:45-83, perfect_search.rs:25-46,
 read_id_mt_pe.rs:66-165). The bit-slice matrix lives in device HBM as a dense
-uint32 array [bloom_size, W]; a batch of k-mers arrives as row indices
-[N, num_hash] (host hashes with XXH3, hashing is ~free next to the HBM
-gather). One fused jitted call gathers all rows, ANDs across the hash axis,
-unpacks bits and reduces to per-color counts — thousands of k-mers per
-launch instead of the reference's one-row-at-a-time pointer chase.
+uint32 array re-packed into 128-lane blocks (pack_matrix_blocks); a query
+arrives either as 2-bit packed k-mers (hashed on device, ops/hash_jax.py)
+or as precomputed row indices. One fused jitted call hashes, gathers,
+ANDs across the hash axis, unpacks bits and reduces to per-color counts
+and coverage statistics — millions of k-mers per dispatch instead of the
+reference's one-row-at-a-time pointer chase.
 
 Absent-row semantics: the reference stores only rows with >= 1 set bit and
 treats a missing row as "this k-mer cannot be in any color"

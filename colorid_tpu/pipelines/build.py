@@ -243,7 +243,7 @@ def build_index(
                 ].astype(bool)
                 n_ref_kmers[acc] = int(z["n_kmers"])
                 if verbose:
-                    print(f"  (resumed from checkpoint)", file=sys.stderr)
+                    print("  (resumed from checkpoint)", file=sys.stderr)
         if bloom is None:
             if acc in counted:
                 keys = counted.pop(acc)
