@@ -193,8 +193,8 @@ def main():
             break
     hits = int(res.counts.sum())
     log(f"total per-color hits {hits}; colors hit {(res.counts > 0).sum()}")
-    _read_id_stat(engine)
     value = keys.shape[0] / best
+    # the JSON line goes out before optional extras so nothing can starve it
     print(
         json.dumps(
             {
@@ -203,8 +203,10 @@ def main():
                 "unit": "kmers/s",
                 "vs_baseline": round(value / BASELINE_KMERS_PER_S, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    _read_id_stat(engine)
 
 
 if __name__ == "__main__":
