@@ -114,6 +114,15 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.rs_open.restype = ctypes.c_void_p
+        lib.rs_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32]
+        lib.rs_close.argtypes = [ctypes.c_void_p]
+        lib.rs_next_batch.restype = ctypes.c_int64
+        lib.rs_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -327,3 +336,65 @@ def read_sets_packed(
     pairs[:, 0] = (packed[:total] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     pairs[:, 1] = (packed[:total] >> np.uint64(32)).astype(np.uint32)
     return pairs, seg[:total], pos[:total], maplen
+
+
+class FastqReadStream:
+    """C++ gz fastq streamer: decode + phred-mask + batch assembly in one
+    pass. Yields (ids, seqs_concat, seq_offs, nseqs) batches."""
+
+    def __init__(self, path1: str, path2: str | None, qual_offset: int,
+                 batch: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native unavailable")
+        self._lib = lib
+        self._h = lib.rs_open(
+            path1.encode(), (path2 or "").encode(), qual_offset
+        )
+        if not self._h:
+            raise FileNotFoundError(path1 if path2 is None else f"{path1}/{path2}")
+        self.batch = batch
+        self.mates = 2 if path2 else 1
+        self._seq_cap = batch * self.mates * 512
+        self._id_cap = batch * 256
+
+    def __iter__(self):
+        b = self.batch
+        while True:
+            seq_buf = np.empty(self._seq_cap, dtype=np.uint8)
+            seq_offs = np.zeros(b * self.mates + 1, dtype=np.int64)
+            nseqs = np.empty(b, dtype=np.int32)
+            id_buf = np.empty(self._id_cap, dtype=np.uint8)
+            id_offs = np.zeros(b + 1, dtype=np.int64)
+            n = self._lib.rs_next_batch(
+                self._h, b,
+                seq_buf.ctypes.data, self._seq_cap, seq_offs.ctypes.data,
+                nseqs.ctypes.data,
+                id_buf.ctypes.data, self._id_cap, id_offs.ctypes.data,
+            )
+            if n == -1:  # pathological read length: grow and retry
+                self._seq_cap *= 4
+                self._id_cap *= 4
+                continue
+            if n == 0:
+                break
+            total_seqs = int(nseqs[:n].sum())
+            ids_raw = id_buf[: id_offs[n]].tobytes()
+            ids = [
+                ids_raw[id_offs[i] : id_offs[i + 1]].decode("utf-8", "replace")
+                for i in range(n)
+            ]
+            yield ids, seq_buf, seq_offs[: total_seqs + 1], nseqs[:n]
+            if n < b:
+                break
+
+    def close(self):
+        if self._h:
+            self._lib.rs_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -583,3 +583,101 @@ extern "C" int32_t ct_counter_add_many(void* h, const uint8_t* seqs,
     (void)c;
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// streaming fastq reader for the read classifier (gz decode + phred masking
+// + batch assembly in one pass; ids returned for the output TSV)
+// ---------------------------------------------------------------------------
+
+struct ReadStream {
+    GzLines* f1 = nullptr;
+    GzLines* f2 = nullptr;  // null => single-end
+    int qual_offset = 0;
+    bool done = false;
+    bool have = false;  // a parsed read is buffered (batch buffer was full)
+    std::string id, s1, q1, s2, q2;
+};
+
+extern "C" void* rs_open(const char* path1, const char* path2, int32_t qual_offset) {
+    ReadStream* rs = new ReadStream();
+    rs->f1 = new GzLines(path1);
+    if (!rs->f1->ok()) { delete rs->f1; delete rs; return nullptr; }
+    if (path2 && path2[0]) {
+        rs->f2 = new GzLines(path2);
+        if (!rs->f2->ok()) { delete rs->f2; delete rs->f1; delete rs; return nullptr; }
+    }
+    rs->qual_offset = qual_offset;
+    return rs;
+}
+
+extern "C" void rs_close(void* h) {
+    ReadStream* rs = (ReadStream*)h;
+    if (!rs) return;
+    delete rs->f1;
+    delete rs->f2;
+    delete rs;
+}
+
+// Returns number of reads written (0 = EOF), or -1 if a buffer was too
+// small (nothing consumed from the stream is lost: the pending read is
+// buffered in the handle and re-emitted on the next call).
+extern "C" int64_t rs_next_batch(void* h, int64_t max_reads,
+                                 uint8_t* seq_buf, int64_t seq_cap,
+                                 int64_t* seq_offs, int32_t* nseqs,
+                                 char* id_buf, int64_t id_cap,
+                                 int64_t* id_offs) {
+    ReadStream* rs = (ReadStream*)h;
+    int64_t n = 0, seq_pos = 0, id_pos = 0, n_seqs = 0;
+    seq_offs[0] = 0;
+    id_offs[0] = 0;
+    while (n < max_reads) {
+        if (!rs->have) {
+            if (rs->done) break;
+            // read one record (pair)
+            std::string l1, l2, l3, l4;
+            if (!rs->f1->next(l1) || !rs->f1->next(l2) || !rs->f1->next(l3) ||
+                !rs->f1->next(l4)) {
+                rs->done = true;
+                break;
+            }
+            if (rs->f2) {
+                std::string m1, m2, m3, m4;
+                if (!rs->f2->next(m1) || !rs->f2->next(m2) ||
+                    !rs->f2->next(m3) || !rs->f2->next(m4)) {
+                    rs->done = true;  // reference: file2 dry => stop
+                    break;
+                }
+                rs->s2 = m2;
+                rs->q2 = m4;
+            }
+            rs->id = l1;
+            rs->s1 = l2;
+            rs->q1 = l4;
+            mask_seq(rs->s1, rs->q1, rs->qual_offset);
+            if (rs->f2) mask_seq(rs->s2, rs->q2, rs->qual_offset);
+            rs->have = true;
+        }
+        int64_t need_seq = (int64_t)rs->s1.size() + (rs->f2 ? (int64_t)rs->s2.size() : 0);
+        int64_t need_id = (int64_t)rs->id.size();
+        if (seq_pos + need_seq > seq_cap || id_pos + need_id > id_cap) {
+            return n > 0 ? n : -1;  // -1: caller must grow buffers
+        }
+        memcpy(id_buf + id_pos, rs->id.data(), rs->id.size());
+        id_pos += rs->id.size();
+        id_offs[n + 1] = id_pos;
+        memcpy(seq_buf + seq_pos, rs->s1.data(), rs->s1.size());
+        seq_pos += rs->s1.size();
+        seq_offs[++n_seqs] = seq_pos;
+        int32_t mates = 1;
+        if (rs->f2) {
+            memcpy(seq_buf + seq_pos, rs->s2.data(), rs->s2.size());
+            seq_pos += rs->s2.size();
+            seq_offs[++n_seqs] = seq_pos;
+            mates = 2;
+        }
+        nseqs[n] = mates;
+        n++;
+        rs->have = false;
+    }
+    return n;
+}

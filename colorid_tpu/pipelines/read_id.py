@@ -298,6 +298,49 @@ def _run_stream(
     return read_count
 
 
+def _run_stream_native(
+    path1: str,
+    path2: str | None,
+    engine: QueryEngine,
+    d: int,
+    fp_correct: float,
+    start_sample: int,
+    b: int,
+    prefix: str,
+    what: str,
+    qual_offset: int,
+) -> int:
+    """Streaming driver over the C++ fastq frontend (decode + mask + batch
+    assembly off the Python heap)."""
+    from .. import native
+
+    stream = native.FastqReadStream(path1, path2, qual_offset, b)
+    t0 = time.time()
+    read_count = 0
+    with open(f"{prefix}_reads.txt", "w") as f:
+        for ids, seq_buf, seq_offs, nseqs in stream:
+            batch = []
+            j = 0
+            for i, rid in enumerate(ids):
+                m = int(nseqs[i])
+                seqs = [
+                    seq_buf[seq_offs[j + t] : seq_offs[j + t + 1]]
+                    for t in range(m)
+                ]
+                j += m
+                batch.append((rid, seqs))
+            c = classify_batch(batch, engine, d, fp_correct, start_sample)
+            read_count += len(c)
+            print(f"{read_count} {what} classified\r", end="", file=sys.stderr)
+            for row in c:
+                f.write("\t".join(str(x) for x in row) + "\n")
+    print(
+        f"Classified {read_count} {what} in {int(time.time() - t0)} seconds",
+        file=sys.stderr,
+    )
+    return read_count
+
+
 def per_read_stream_pe(
     files: list[str],
     engine: QueryEngine,
@@ -308,6 +351,13 @@ def per_read_stream_pe(
     qual_offset: int,
     start_sample: int,
 ) -> int:
+    from .. import native
+
+    if native.available():
+        return _run_stream_native(
+            files[0], files[1], engine, d, fp_correct, start_sample, b,
+            prefix, "read pairs", qual_offset,
+        )
     reads = (
         (rid, [s1, s2], [q1, q2])
         for rid, s1, q1, s2, q2 in stream_fastq_pe_raw(files[0], files[1])
@@ -328,6 +378,13 @@ def per_read_stream_se(
     qual_offset: int,
     start_sample: int,
 ) -> int:
+    from .. import native
+
+    if native.available():
+        return _run_stream_native(
+            files[0], None, engine, d, fp_correct, start_sample, b, prefix,
+            "reads", qual_offset,
+        )
     reads = (
         (rid, [s], [q]) for rid, s, q in stream_fastq_raw(files[0])
     )

@@ -134,3 +134,50 @@ def test_read_sets_minimizer():
         assert maplen[r] == keys.shape[0]
         want_rows = bloom_rows_batch(keys, H, bloom).astype(np.uint32)
         np.testing.assert_array_equal(rows[seg == r], want_rows)
+
+
+def test_fastq_read_stream_matches_python(tmp_path):
+    """The C++ read_id frontend must produce byte-identical classifications
+    to the python streaming path."""
+    import jax
+
+    from colorid_tpu.engine import QueryEngine
+    from colorid_tpu.pipelines.build import build_index
+    from colorid_tpu.pipelines import read_id as R
+
+    rng = np.random.default_rng(12)
+    ref_map = {
+        "B056": ["/root/reference/test_data/refs/Listeria_phage_B056.fasta"],
+        "B021": ["/root/reference/test_data/refs/Listeria_phage_B021.fasta"],
+    }
+    index = build_index(ref_map, 120_000, 3, 21, verbose=False)
+    engine = QueryEngine(index)
+    from colorid_tpu.core.fastx import read_fasta
+
+    g = "".join(read_fasta(ref_map["B056"][0]))
+    p1, p2 = tmp_path / "a1.fq.gz", tmp_path / "a2.fq.gz"
+    with gzip.open(p1, "wt") as f1, gzip.open(p2, "wt") as f2:
+        for i in range(500):
+            s = int(rng.integers(0, len(g) - 300))
+            q1 = "".join(chr(int(c)) for c in rng.integers(35, 74, 90))
+            q2 = "".join(chr(int(c)) for c in rng.integers(35, 74, 90))
+            f1.write(f"@q{i} x\n{g[s:s+90]}\n+\n{q1}\n")
+            f2.write(f"@q{i} x\n{g[s+150:s+240]}\n+\n{q2}\n")
+    native_out = str(tmp_path / "nat")
+    R._run_stream_native(
+        str(p1), str(p2), engine, 1, 1e-3, 3, 128, native_out,
+        "read pairs", 15,
+    )
+    py_out = str(tmp_path / "py")
+    reads = (
+        (rid, [s1, s2], [qq1, qq2])
+        for rid, s1, qq1, s2, qq2 in __import__(
+            "colorid_tpu.core.fastx", fromlist=["x"]
+        ).stream_fastq_pe_raw(str(p1), str(p2))
+    )
+    R._run_stream(
+        reads, engine, 1, 1e-3, 3, 128, py_out, "read pairs", qual_offset=15
+    )
+    a = open(native_out + "_reads.txt").read()
+    b = open(py_out + "_reads.txt").read()
+    assert a == b and len(a.splitlines()) == 500
