@@ -110,6 +110,55 @@ def make_query_kmers(index):
     return keys, qcounts, packed
 
 
+def _blocked_stat(keys, qcounts):
+    """Secondary metric (stderr only): the turbo (--blocked) index layout's
+    search rate on the same query."""
+    import time as _t
+
+    from colorid_tpu.engine import QueryEngine
+    from colorid_tpu.index.bigsi import BigsiIndex
+    from colorid_tpu.ops.blocked import blocked_rows_host, rows_per_block
+    from colorid_tpu.pipelines.build import build_index
+
+    try:
+        path = os.path.join(CACHE, "bench50M_blocked.bxi")
+        if os.path.exists(path):
+            index = BigsiIndex.load(path)
+        else:
+            ref_map = {}
+            for d in (REFS1, REFS2):
+                if not os.path.isdir(d):
+                    continue
+                for f in sorted(os.listdir(d)):
+                    if f.endswith(".fasta"):
+                        p2 = os.path.join(d, f)
+                        if os.path.getsize(p2) > 1000:
+                            ref_map[f[:-6]] = [p2]
+            index = build_index(
+                ref_map, BLOOM, HASHES, K, verbose=False, blocked=True,
+                threads=2,
+            )
+            index.save(path)
+        engine = QueryEngine(index, chunk=1 << 21)
+        from colorid_tpu import native
+        packed, _ = (None, None)
+        z = np.load(os.path.join(CACHE, "query_kmers_v3.npz"))
+        pk = z["packed"]
+        qc = z["qcounts"].astype(np.int32)
+        run = lambda: engine.search_keys(None, qcounts=qc, packed_all=pk, k=K)
+        run()
+        best = float("inf")
+        for _ in range(2):
+            t0 = _t.time()
+            run()
+            best = min(best, _t.time() - t0)
+        log(
+            f"blocked (turbo) secondary: {pk.shape[0] / best / 1e6:.2f} M kmers/s"
+        )
+    except Exception as e:
+        log(f"blocked secondary skipped: {e}")
+
+
 def _read_id_stat(engine):
     """Secondary metric (stderr only): warm read_id throughput on 20k
     synthetic paired-end reads."""
@@ -207,6 +256,7 @@ def main():
         flush=True,
     )
     _read_id_stat(engine)
+    _blocked_stat(keys, qcounts)
 
 
 if __name__ == "__main__":
