@@ -231,18 +231,22 @@ def main():
     keys, qcounts, packed = make_query_kmers(index)
     qcounts = qcounts.astype(np.int32)
     log(f"query: {keys.shape[0]} filtered k-mers")
-    engine = QueryEngine(index, chunk=1 << 21)
-    # warm the device link (first D2H on the axon tunnel is pathological)
-    np.asarray(jax.device_put(np.ones(8, np.int32)))
-    # timed span: the search hot loop (device XXH3 + gather/AND/count +
-    # uniq-freq stats), matching the reference's "Search: {} sec" span
-    # (which also includes per-k-mer hashing but excludes counting).
-    def run():
-        return engine.search_keys(None, qcounts=qcounts, packed_all=packed, k=K)
 
     best = float("inf")
     hits = 0
     try:
+        engine = QueryEngine(index, chunk=1 << 21)
+        # warm the device link (first D2H on the axon tunnel is pathological)
+        np.asarray(jax.device_put(np.ones(8, np.int32)))
+
+        # timed span: the search hot loop (device XXH3 + gather/AND/count +
+        # uniq-freq stats), matching the reference's "Search: {} sec" span
+        # (which also includes per-k-mer hashing but excludes counting).
+        def run():
+            return engine.search_keys(
+                None, qcounts=qcounts, packed_all=packed, k=K
+            )
+
         t0 = time.time()
         res = run()  # warm/compile
         warm_dt = time.time() - t0
