@@ -99,3 +99,40 @@ def test_huge_frequencies_exact(setup):
     engine = QueryEngine(index)
     res = engine.search_keys(keys, qcounts=qcounts)
     _check(res, *_oracle(index, matrix, keys, qcounts))
+
+
+def test_200_colors_wpad8():
+    """7-word rows (wpad=8): the widest packing tier below color-sharding."""
+    rng = np.random.default_rng(13)
+    C2, bloom = 200, 60_000
+    matrix = rng.integers(0, 2**32, (bloom, 7), dtype=np.uint32)
+    matrix[:, 6] &= (1 << 8) - 1  # colors 192..199
+    matrix[rng.integers(0, bloom, 20_000)] = 0
+    names = [f"x{i:03d}" for i in range(C2)]
+    index = BigsiIndex(bloom, 3, 21, 0, names, {n: 500 for n in names}, matrix)
+    engine = QueryEngine(index)
+    assert engine.wpad == 8
+    keys = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(1500, 21))
+    qcounts = rng.integers(1, 100, 1500).astype(np.int32)
+    res = engine.search_keys(keys, qcounts=qcounts)
+    counts = np.zeros(C2, dtype=np.int64)
+    uniq = {}
+    for i, kb in enumerate(keys):
+        km = to_str(kb)
+        rows = [xxhash.xxh3_64_intdigest(km.encode(), s) % bloom for s in range(3)]
+        words = [matrix[r] for r in rows]
+        if any(not w.any() for w in words):
+            continue
+        a = words[0].copy()
+        for w in words[1:]:
+            a &= w
+        hits = [c for c in range(C2) if (int(a[c // 32]) >> (c % 32)) & 1]
+        for c in hits:
+            counts[c] += 1
+        if len(hits) == 1:
+            uniq.setdefault(hits[0], []).append(int(qcounts[i]))
+    np.testing.assert_array_equal(res.counts, counts)
+    stats = res.freq_stats()
+    assert set(stats) == set(uniq)
+    for c, freqs in uniq.items():
+        assert stats[c][2] == len(freqs)
