@@ -222,12 +222,27 @@ def _accumulate_one(
     )
     ok_b = (present | ~mask).all()
 
-    # uniq-hit frequency stats, on device
+    # uniq-hit frequency stats, on device. TPU scatter-add serializes; for
+    # narrow color counts a one-hot int8 MXU contraction builds the same
+    # histogram ~2x faster (measured; exact).
     small = uniq_mask & (qcounts < FREQ_CAP)
     hist_col = jnp.where(small, coloridx, C)
-    hist = hist.at[hist_col, jnp.clip(qcounts, 0, FREQ_CAP - 1)].add(
-        1, mode="drop"
-    )
+    qclip = jnp.clip(qcounts, 0, FREQ_CAP - 1)
+    if C < 128:
+        CP = 32 if C < 32 else 128
+        oc = (hist_col[:, None] == jnp.arange(CP, dtype=jnp.int32)).astype(
+            jnp.int8
+        )
+        ov = (qclip[:, None] == jnp.arange(FREQ_CAP, dtype=jnp.int32)).astype(
+            jnp.int8
+        )
+        delta = jax.lax.dot_general(
+            oc, ov, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [CP, FREQ_CAP]
+        hist = hist + delta[:C]
+    else:
+        hist = hist.at[hist_col, qclip].add(1, mode="drop")
     big = uniq_mask & (qcounts >= FREQ_CAP)
     n_over_before = stats[C + W + 1]
     capO = over_col.shape[0]
