@@ -184,3 +184,42 @@ def test_gene_search_on_fastq(tmp_path, capsys):
     out = [l.split("\t") for l in capsys.readouterr().out.splitlines() if "\t" in l]
     assert out and all(len(r) == 4 for r in out)
     assert any(r[1] == "Listeria_phage_B056" for r in out)
+
+
+def test_softmasked_genome_e2e(tmp_path, capsys):
+    """A genome with lowercase (soft-masked) regions flows through the exact
+    numpy paths end-to-end; lowercase query k-mers only match lowercase
+    index k-mers when case-matched — except the fasta build path uppercases
+    (kmerize_vector), so uppercase queries still hit."""
+    rng = np.random.default_rng(21)
+    g = "".join(read_fasta(f"{REFS}/Listeria_phage_B056.fasta"))[:20000]
+    soft = g[:5000].lower() + g[5000:]
+    fa = tmp_path / "soft.fasta"
+    fa.write_text(f">soft\n{soft}\n")
+    man = tmp_path / "refs.txt"
+    man.write_text(f"softy\t{fa}\n")
+    prefix = str(tmp_path / "softidx")
+    main(["build", "-s", "200000", "-n", "3", "-k", "21", "-b", prefix,
+          "-r", str(man)])
+    # uppercase query hits (the index was uppercased at build)
+    q = tmp_path / "q.fasta"
+    q.write_text(f">q\n{g[:8000].upper()}\n")
+    main(["search", "-b", prefix + ".bxi", "-q", str(q), "-f", "0", "-p", "0.1"])
+    out = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert any(r.split("\t")[2] == "softy" for r in out)
+    # mixed-case fastq reads classify via the exact per-read path
+    import gzip as _gz
+
+    fq = tmp_path / "soft.fq.gz"
+    with _gz.open(fq, "wt") as f:
+        for i in range(60):
+            s = int(rng.integers(0, len(soft) - 100))
+            f.write(f"@s{i}\n{soft[s:s+100]}\n+\n{'I'*100}\n")
+    pre = str(tmp_path / "softcls")
+    main(["read_id", "-b", prefix + ".bxi", "-q", str(fq), "-n", pre])
+    rows = [l.split("\t") for l in open(pre + "_reads.txt").read().splitlines()]
+    assert len(rows) == 60
+    # uppercase-region reads accept; lowercase-region reads miss (their
+    # k-mers hash with lowercase bytes, the index holds uppercase)
+    acc = [r for r in rows if r[1] == "softy" and r[4] == "accept"]
+    assert len(acc) >= 30
