@@ -8,6 +8,7 @@ integer tensors cross the host→device boundary.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -79,13 +80,42 @@ class QueryEngine:
         self.chunk = chunk
         blocks, self.wpad = pack_matrix_blocks(np.asarray(index.matrix))
         self.blocks2 = jnp.asarray(blocks)
-        # blocked (turbo) layout: one 512B block per k-mer (ops/blocked.py)
-        self.rpb = (128 // self.wpad) if index.blocked else 0
+        # blocked (turbo) layout: one 512B block per k-mer (ops/blocked.py);
+        # bv: 0 = classic rows, 1 = blocked, 2 = blocked split-lane (the
+        # sorted-stream kernel's layout, ops/stream_query.py)
+        self.bv = int(index.blocked)
+        self.rpb = (128 // self.wpad) if self.bv else 0
         if index.bloom_size * self.wpad >= 2**31:
             raise ValueError(
                 "bloom_size * padded_row_words >= 2^31 unsupported (int32 "
                 "word addressing); shard colors across devices instead"
             )
+        self._gmat = None
+        if (
+            self.bv == 2
+            and index.num_hash <= 4
+            and self.wpad <= 4
+            and index.n_colors <= 127
+            and os.environ.get("COLORID_STREAM", "0") != "0"
+        ):
+            from .ops.stream_query import _g_matrix
+
+            self._gmat = jnp.asarray(
+                _g_matrix(index.num_hash, self.wpad), dtype=jnp.bfloat16
+            )
+
+    def _use_stream(self, seg_kmers: int) -> bool:
+        """Sorted-stream kernel is opt-in (COLORID_STREAM=1|force): it only
+        pays off when probes are dense relative to the matrix (each
+        128-block tile touched by many probes), and as measured it does not
+        yet beat the block gather at bench density — see PERF.md. 'force'
+        streams every segment (testing); '1' applies the density gate."""
+        if self._gmat is None:
+            return False
+        if os.environ.get("COLORID_STREAM") == "force":
+            return True
+        n_blocks = self.index.bloom_size // self.rpb
+        return seg_kmers >= 4 * n_blocks
 
     # -- hashing ------------------------------------------------------------
 
@@ -95,7 +125,8 @@ class QueryEngine:
             from .ops.blocked import blocked_rows_host
 
             return blocked_rows_host(
-                keys, self.index.num_hash, self.index.bloom_size, self.rpb
+                keys, self.index.num_hash, self.index.bloom_size, self.rpb,
+                version=self.bv,
             ).astype(np.int32)
         if keys.shape[0] and native.available():
             return native.xxh3_rows(
@@ -165,6 +196,7 @@ class QueryEngine:
         # one device call per segment; a segment scans fixed-size chunks
         chunk = min(self.chunk, 1 << 20)
         seg = chunk * 8
+        drops: list = []
         for start in range(0, n, seg):
             stop = min(start + seg, n)
             m = stop - start
@@ -182,6 +214,28 @@ class QueryEngine:
                     pk = np.zeros((size, 2), dtype=np.uint32)
                     pk[:m] = packed_all[start:stop]
                     qc[m:] = 0  # padding marker
+                if self._use_stream(m):
+                    from .ops.stream_query import stream_accumulate_hash
+
+                    stats, hist, oc_buf, of_buf, nd = stream_accumulate_hash(
+                        stats,
+                        hist,
+                        oc_buf,
+                        of_buf,
+                        self.blocks2,
+                        self._gmat,
+                        jnp.asarray(pk),
+                        jnp.asarray(qc),
+                        jnp.int32(start),
+                        wpad=self.wpad,
+                        k=k,
+                        num_hash=self.index.num_hash,
+                        bloom_size=self.index.bloom_size,
+                        rpb=self.rpb,
+                        n_colors=C,
+                    )
+                    drops.append(nd)
+                    continue
                 stats, hist, oc_buf, of_buf = query_accumulate_hash_scan(
                     stats,
                     hist,
@@ -197,6 +251,7 @@ class QueryEngine:
                     num_hash=self.index.num_hash,
                     bloom_size=self.index.bloom_size,
                     rpb=self.rpb,
+                    bv=self.bv or 1,
                 )
                 continue
             rows = np.zeros((size, self.index.num_hash), dtype=np.int32)
@@ -217,6 +272,16 @@ class QueryEngine:
                 chunk=csize,
                 rpb=self.rpb,
             )
+        if drops and int(sum(int(np.asarray(d)) for d in drops)) > 0:
+            # stream-kernel residual/overflow capacity exceeded (requires a
+            # pathological probe distribution): rerun on the generic path
+            gmat, self._gmat = self._gmat, None
+            try:
+                return self.search_keys(
+                    keys, qcounts, rows_all, packed_all, k
+                )
+            finally:
+                self._gmat = gmat
         st = np.asarray(stats)
         counts += st[:C].astype(np.int64)
         and_all &= st[C : C + W].astype(np.uint32)
@@ -309,6 +374,7 @@ class QueryEngine:
                 num_hash=self.index.num_hash,
                 bloom_size=self.index.bloom_size,
                 rpb=self.rpb,
+                bv=self.bv or 1,
             )
             out[r0:r1] = np.asarray(report)[: r1 - r0]
         return out

@@ -37,9 +37,11 @@ class BigsiIndex:
     colors: list[str]  # color id -> accession (dense, sorted at build)
     n_ref_kmers: dict[str, int]
     matrix: np.ndarray  # uint32 [bloom_size, W]
-    blocked: bool = False  # turbo layout: all H rows of a k-mer share one
-    # 512-byte block (single fetch per k-mer; not bit-compatible with the
-    # reference's hash placement — see ops/blocked.py)
+    blocked: int = 0  # turbo layout version: 0 = classic rows; 1 = all H
+    # rows of a k-mer share one 512-byte block (single fetch per k-mer);
+    # 2 = split-lane blocked (hash h confined to its own lane group, the
+    # sorted-stream kernel's layout). Not bit-compatible with the
+    # reference's hash placement — see ops/blocked.py.
 
     @property
     def n_colors(self) -> int:
@@ -63,7 +65,7 @@ class BigsiIndex:
             "colors": self.colors,
             "n_ref_kmers": self.n_ref_kmers,
             "words_per_row": int(self.matrix.shape[1]),
-            "blocked": self.blocked,
+            "blocked": int(self.blocked),
         }
         hjson = json.dumps(header).encode("utf-8")
         with open(path, "wb") as f:
@@ -100,7 +102,7 @@ class BigsiIndex:
             colors=header["colors"],
             n_ref_kmers={k: int(v) for k, v in header["n_ref_kmers"].items()},
             matrix=matrix,
-            blocked=bool(header.get("blocked", False)),
+            blocked=int(header.get("blocked", 0)),
         )
 
 

@@ -47,7 +47,10 @@ def pack_matrix_blocks(matrix: np.ndarray) -> tuple[np.ndarray, int]:
     wpad = 1 << (max(W, 1) - 1).bit_length()
     if wpad > 128:
         raise ValueError("more than 4096 colors per device shard unsupported")
-    flat = np.zeros(((R * wpad + 127) // 128) * 128, dtype=np.uint32)
+    # rows padded to a multiple of 128 (min 256) so the sorted-stream kernel
+    # (ops/stream_query.py) can tile the matrix in (128, 128) windows
+    n_rows = max(((R * wpad + 128 * 128 - 1) // (128 * 128)) * 128, 256)
+    flat = np.zeros(n_rows * 128, dtype=np.uint32)
     if wpad == W:
         flat[: R * W] = np.ascontiguousarray(matrix).reshape(-1)
     else:
@@ -170,13 +173,38 @@ def query_batch(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray, *, w
     return counts, uniq_color, valid, and_all, all_valid
 
 
-def _device_rows(limbs, k: int, num_hash: int, bloom_size: int, rpb: int):
-    """Bloom rows from on-device XXH3: independent rows (rpb=0) or the
-    blocked placement of ops/blocked.py (rpb>0, power of two)."""
+def _device_blkoff(limbs, k: int, num_hash: int, bloom_size: int, rpb: int,
+                   v2: bool = False):
+    """Blocked placement (ops/blocked.py): block index [N] and per-hash
+    in-block row offsets [N, H] from on-device XXH3."""
     from .hash_jax import _mod_barrett, _xxh3_device
 
     hashes = [_xxh3_device(limbs, k, seed) for seed in range(num_hash)]
+    n_blocks = bloom_size // rpb
+    block = _mod_barrett(hashes[0], n_blocks).astype(jnp.int32)
+    if v2:
+        grp = rpb // num_hash
+        mask_grp = jnp.uint32(grp - 1)
+        offs = [(hashes[0][1] & mask_grp).astype(jnp.int32)]
+        for i, h in enumerate(hashes[1:], start=1):
+            offs.append(np.int32(i * grp) + (h[0] & mask_grp).astype(jnp.int32))
+    else:
+        mask_rpb = jnp.uint32(rpb - 1)
+        offs = [(hashes[0][1] & mask_rpb).astype(jnp.int32)]  # high limb bits
+        for h in hashes[1:]:
+            offs.append((h[0] & mask_rpb).astype(jnp.int32))  # low limb bits
+    return block, offs
+
+
+def _device_rows(limbs, k: int, num_hash: int, bloom_size: int, rpb: int,
+                 v2: bool = False):
+    """Bloom rows from on-device XXH3: independent rows (rpb=0) or the
+    blocked placement of ops/blocked.py (rpb>0, power of two; v2 = the
+    split-lane placement)."""
+    from .hash_jax import _mod_barrett, _xxh3_device
+
     if rpb == 0:
+        hashes = [_xxh3_device(limbs, k, seed) for seed in range(num_hash)]
         return jnp.stack(
             [
                 _mod_barrett(h, bloom_size).astype(jnp.int32)
@@ -184,13 +212,8 @@ def _device_rows(limbs, k: int, num_hash: int, bloom_size: int, rpb: int):
             ],
             axis=1,
         )
-    n_blocks = bloom_size // rpb
-    mask_rpb = jnp.uint32(rpb - 1)
-    block = _mod_barrett(hashes[0], n_blocks).astype(jnp.int32)
+    block, offs = _device_blkoff(limbs, k, num_hash, bloom_size, rpb, v2)
     base = block * np.int32(rpb)
-    offs = [(hashes[0][1] & mask_rpb).astype(jnp.int32)]  # high limb bits
-    for h in hashes[1:]:
-        offs.append((h[0] & mask_rpb).astype(jnp.int32))  # low limb bits
     return jnp.stack([base + o for o in offs], axis=1)
 
 
@@ -199,7 +222,7 @@ FREQ_CAP = 1024  # per-color on-device frequency histogram width
 
 def _accumulate_one(
     stats, hist, over_col, over_freq, blocks2, rows, mask, qcounts, wpad,
-    base_idx, rpb=0,
+    base_idx, rpb=0, gidx=None,
 ):
     """qcounts: int32 frequencies clipped to 65535 by the caller. Values
     >= FREQ_CAP route to the overflow list, which records the k-mer's GLOBAL
@@ -249,7 +272,8 @@ def _accumulate_one(
     pos = jnp.cumsum(big) - 1
     to = jnp.where(big, n_over_before + pos, capO)
     over_col = over_col.at[to].set(coloridx, mode="drop")
-    gidx = jnp.arange(N, dtype=jnp.int32) + base_idx
+    if gidx is None:
+        gidx = jnp.arange(N, dtype=jnp.int32) + base_idx
     over_freq = over_freq.at[to].set(gidx, mode="drop")
     n_over_new = big.sum().astype(jnp.int32)
 
@@ -312,7 +336,8 @@ def query_accumulate_scan(
 @partial(
     jax.jit,
     donate_argnums=(0, 1, 2, 3),
-    static_argnames=("wpad", "chunk", "k", "num_hash", "bloom_size", "rpb"),
+    static_argnames=("wpad", "chunk", "k", "num_hash", "bloom_size", "rpb",
+                     "bv"),
 )
 def query_accumulate_hash_scan(
     stats: jnp.ndarray,
@@ -330,6 +355,7 @@ def query_accumulate_hash_scan(
     num_hash: int,
     bloom_size: int,
     rpb: int = 0,
+    bv: int = 1,
 ):
     """Fully fused streaming query: device-side XXH3 (ops/hash_jax.py) +
     gather/AND/count accumulation, one dispatch per segment. The host ships
@@ -346,7 +372,7 @@ def query_accumulate_hash_scan(
         stats, hist, over_col, over_freq = carry
         p, q, b = xs
         limbs = _limbs_from_packed(p[:, 0], p[:, 1], k)
-        rows = _device_rows(limbs, k, num_hash, bloom_size, rpb)
+        rows = _device_rows(limbs, k, num_hash, bloom_size, rpb, bv == 2)
         q32 = q.astype(jnp.int32)
         mask = q32 > 0
         stats, hist, over_col, over_freq = _accumulate_one(
@@ -456,7 +482,7 @@ def _readid_core(
     jax.jit,
     static_argnames=(
         "num_reads", "start_sample", "num_colors", "wpad", "k", "num_hash",
-        "bloom_size", "rpb",
+        "bloom_size", "rpb", "bv",
     ),
 )
 def query_readid_hash_batch(
@@ -473,13 +499,14 @@ def query_readid_hash_batch(
     num_hash: int,
     bloom_size: int,
     rpb: int = 0,
+    bv: int = 1,
 ):
     """query_readid_batch with on-device XXH3: the host ships 12B per k-mer
     (packed key + int16 seg/pos) instead of 24B."""
     from .hash_jax import _limbs_from_packed
 
     limbs = _limbs_from_packed(packed[:, 0], packed[:, 1], k)
-    rows = _device_rows(limbs, k, num_hash, bloom_size, rpb)
+    rows = _device_rows(limbs, k, num_hash, bloom_size, rpb, bv == 2)
     seg_ids = seg_ids16.astype(jnp.int32)
     p16 = kmer_pos16.astype(jnp.int32)
     kmer_pos = jnp.where(p16 < 0, jnp.int32(PAD_POS), p16)

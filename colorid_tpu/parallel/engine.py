@@ -62,7 +62,8 @@ class ShardedQueryEngine:
             wpad = 1 << (max(self.index.words_per_row, 1) - 1).bit_length()
             rpb = rows_per_block(wpad)
             return blocked_rows_host(
-                keys, self.index.num_hash, self.index.bloom_size, rpb
+                keys, self.index.num_hash, self.index.bloom_size, rpb,
+                version=int(self.index.blocked),
             ).astype(np.int32)
         if keys.shape[0] and native.available():
             return native.xxh3_rows(

@@ -177,12 +177,16 @@ def build_index(
     C = len(accessions)
     W = (C + 31) // 32
     rpb = 0
+    bver = 0
     if blocked:
-        from ..ops.blocked import pad_bloom_size, rows_per_block
+        from ..ops.blocked import pad_bloom_size, rows_per_block, v2_supported
 
         wpad = 1 << (max(W, 1) - 1).bit_length()
         rpb = rows_per_block(wpad)
         bloom_size = pad_bloom_size(bloom_size)
+        # split-lane (v2) placement whenever the hash count permits: the
+        # sorted-stream query kernel requires it (ops/stream_query.py)
+        bver = 2 if v2_supported(wpad, num_hash) else 1
     n_ref_kmers: dict[str, int] = {}
     row_lists: list[np.ndarray] = []
     matrix = None if device else np.zeros((bloom_size, W), dtype=np.uint32)
@@ -259,7 +263,9 @@ def build_index(
                 from ..ops.blocked import blocked_rows_host
 
                 with span(f"build:hash:{acc}"):
-                    rows = blocked_rows_host(keys, num_hash, bloom_size, rpb)
+                    rows = blocked_rows_host(
+                        keys, num_hash, bloom_size, rpb, version=bver
+                    )
             else:
                 with span(f"build:hash:{acc}"):
                     rows = _hash_rows(keys, num_hash, bloom_size)
@@ -292,5 +298,5 @@ def build_index(
         colors=accessions,
         n_ref_kmers=n_ref_kmers,
         matrix=matrix,
-        blocked=blocked,
+        blocked=bver,
     )
