@@ -98,11 +98,14 @@ class QueryEngine:
             and index.n_colors <= 127
             and os.environ.get("COLORID_STREAM", "0") != "0"
         ):
-            from .ops.stream_query import _g_matrix
+            from .ops.stream_query import _g_matrix, byte_plane_blocks
 
             self._gmat = jnp.asarray(
                 _g_matrix(index.num_hash, self.wpad), dtype=jnp.bfloat16
             )
+            # bf16 byte-plane copy of the matrix (2x its HBM footprint;
+            # only materialized when streaming is enabled)
+            self._blocks_bp = byte_plane_blocks(self.blocks2)
 
     def _use_stream(self, seg_kmers: int) -> bool:
         """Sorted-stream kernel is opt-in (COLORID_STREAM=1|force): it only
@@ -223,6 +226,7 @@ class QueryEngine:
                         oc_buf,
                         of_buf,
                         self.blocks2,
+                        self._blocks_bp,
                         self._gmat,
                         jnp.asarray(pk),
                         jnp.asarray(qc),

@@ -52,6 +52,21 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+@jax.jit
+def byte_plane_blocks(blocks2: jnp.ndarray) -> jnp.ndarray:
+    """[Rb, 128] uint32 -> bf16 [Rb, 512] byte planes (col 128*p + lane =
+    byte p of the word at lane). Bytes are <= 255, exactly representable in
+    bf16, so the kernel's one-hot MXU gather needs no in-kernel conversion.
+    Built on device from the resident u32 matrix (no extra host transfer)."""
+    planes = [
+        ((blocks2 >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        for p in range(4)
+    ]
+    return jnp.concatenate(planes, axis=1).astype(jnp.float32).astype(
+        jnp.bfloat16
+    )
+
+
 def _g_matrix(num_hash: int, wpad: int) -> np.ndarray:
     """[512, 128] 0/1 extraction matrix: col 4*(h*wpad+w)+p sums the lanes
     of hash-group h, word w, byte-plane p (exactly one lane is nonzero after
@@ -90,30 +105,23 @@ def _stream_kernel(
         jnp.float32).astype(jnp.bfloat16)
     ohB = (((l2 - T) == iota) & (l2 >= T)).astype(jnp.int32).astype(
         jnp.float32).astype(jnp.bfloat16)
-    tA = tileA_ref[:]
-    tB = tileB_ref[:]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (PC, 128), 1)
+    # tiles are pre-converted bf16 byte planes (byte_plane_blocks): the
+    # gather is one MXU contraction per tile, no in-kernel conversions
+    g = jax.lax.dot_general(
+        ohA, tileA_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    g = g + jax.lax.dot_general(
+        ohB, tileB_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [PC, 512] byte planes
+    lanes512 = jax.lax.broadcasted_iota(jnp.int32, (PC, 512), 1) & 127
     o2 = off_ref[:][:, None]  # u32 [PC, 1], 8 bits per hash (in-block row)
     sel = None
     for h in range(H):
         off_h = ((o2 >> (8 * h)) & jnp.uint32(0xFF)).astype(jnp.int32)
         lane_lo = off_h * wpad
-        m = (lanes >= lane_lo) & (lanes < lane_lo + wpad)
+        m = (lanes512 >= lane_lo) & (lanes512 < lane_lo + wpad)
         sel = m if sel is None else (sel | m)
-    parts = []
-    for pshift in (0, 8, 16, 24):
-        pA = ((tA >> pshift) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
-            jnp.float32).astype(jnp.bfloat16)
-        pB = ((tB >> pshift) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
-            jnp.float32).astype(jnp.bfloat16)
-        g = jax.lax.dot_general(
-            ohA, pA, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        g = g + jax.lax.dot_general(
-            ohB, pB, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        parts.append(jnp.where(sel, g, 0.0).astype(jnp.bfloat16))
-    masked = jnp.concatenate(parts, axis=1)  # [PC, 512] bf16
+    masked = jnp.where(sel, g, 0.0).astype(jnp.bfloat16)  # [PC, 512]
     words2 = jax.lax.dot_general(
         masked, g_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -193,7 +201,7 @@ def _misc_rows(wpad: int) -> int:
     jax.jit,
     static_argnames=("num_hash", "wpad", "n_colors", "cp"),
 )
-def _stream_call(blocks2, gmat, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
+def _stream_call(blocks_bp, gmat, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
                  n_colors, cp):
     P = blk_s.shape[0]
     n_chunks = P // PC
@@ -205,8 +213,8 @@ def _stream_call(blocks2, gmat, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
-            pl.BlockSpec((T, 128), lambda j, tb: (tb[j], 0)),
-            pl.BlockSpec((T, 128), lambda j, tb: (tb[j] + 1, 0)),
+            pl.BlockSpec((T, 512), lambda j, tb: (tb[j], 0)),
+            pl.BlockSpec((T, 512), lambda j, tb: (tb[j] + 1, 0)),
             pl.BlockSpec((512, 128), lambda j, tb: (0, 0)),
         ],
         out_specs=(
@@ -236,7 +244,7 @@ def _stream_call(blocks2, gmat, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             jax.ShapeDtypeStruct((mr, PC), jnp.int32),  # and/ok accumulators
         ),
         interpret=_interpret(),
-    )(tb, blk_s, off_s, qc_s, blocks2, blocks2, gmat)
+    )(tb, blk_s, off_s, qc_s, blocks_bp, blocks_bp, gmat)
 
 
 @partial(
@@ -251,6 +259,7 @@ def stream_accumulate_hash(
     over_col: jnp.ndarray,
     over_freq: jnp.ndarray,
     blocks2: jnp.ndarray,
+    blocks_bp: jnp.ndarray,  # bf16 [Rb, 512] from byte_plane_blocks
     gmat: jnp.ndarray,  # bf16 [512, 128] from _g_matrix
     packed: jnp.ndarray,  # uint32 [P, 2]; P % PC == 0
     qcounts: jnp.ndarray,  # uint16 [P] clipped frequencies; 0 marks padding
@@ -295,7 +304,7 @@ def stream_accumulate_hash(
     ).reshape(-1)
 
     uniq, counts_out, hist_out, misc = _stream_call(
-        blocks2, gmat, blk_s, off_s,
+        blocks_bp, gmat, blk_s, off_s,
         jnp.where(inwin, qc_s, 0),
         tb, num_hash=num_hash, wpad=wpad, n_colors=C, cp=cp,
     )
@@ -316,35 +325,32 @@ def stream_accumulate_hash(
     n_over_before = stats[C + wpad + 1]
     big = (uniq >= 0) & (qc_s >= FREQ_CAP)
     n_big = jnp.sum(big.astype(jnp.int32))
-    bidx = jnp.nonzero(big, size=OVER_CAP, fill_value=P)[0]
-    bvalid = bidx < P
     capO = over_col.shape[0]
-    pos = jnp.arange(OVER_CAP, dtype=jnp.int32)
-    to = jnp.where(bvalid, n_over_before + pos, capO)
-    safe = jnp.minimum(bidx, P - 1)
-    over_col = over_col.at[to].set(uniq[safe], mode="drop")
-    over_freq = over_freq.at[to].set(gidx_s[safe], mode="drop")
+
+    # both fixups (overflow compaction, out-of-window residual) cost a
+    # cumsum/scatter over all P probes; lax.cond skips them at runtime in
+    # the common case where nothing overflows / everything is in-window
+    def _route_over(bufs):
+        oc_b, of_b = bufs
+        bidx = jnp.nonzero(big, size=OVER_CAP, fill_value=P)[0]
+        bvalid = bidx < P
+        pos = jnp.arange(OVER_CAP, dtype=jnp.int32)
+        to = jnp.where(bvalid, n_over_before + pos, capO)
+        safe = jnp.minimum(bidx, P - 1)
+        return (
+            oc_b.at[to].set(uniq[safe], mode="drop"),
+            of_b.at[to].set(gidx_s[safe], mode="drop"),
+        )
+
+    over_col, over_freq = jax.lax.cond(
+        n_big > 0, _route_over, lambda bufs: bufs, (over_col, over_freq)
+    )
     n_drop_over = jnp.maximum(n_big - OVER_CAP, 0)
 
     # residual pass: probes outside their chunk's 2-tile window (possible
     # only at low probe density) re-run through the generic gather
     res = (~inwin) & (qc_s > 0)
     n_res = jnp.sum(res.astype(jnp.int32))
-    ridx = jnp.nonzero(res, size=RES_CAP, fill_value=P)[0]
-    rvalid = ridx < P
-    rsafe = jnp.minimum(ridx, P - 1)
-    rblk = blk_s[rsafe]
-    roff = off_s[rsafe]
-    rows_res = jnp.stack(
-        [
-            rblk * np.int32(rpb)
-            + ((roff >> jnp.uint32(8 * h)) & jnp.uint32(0xFF)).astype(
-                jnp.int32
-            )
-            for h in range(num_hash)
-        ],
-        axis=1,
-    )
     stats_mid = jnp.concatenate(
         [
             counts_new,
@@ -353,10 +359,35 @@ def stream_accumulate_hash(
             jnp.minimum(n_over_before + n_big, n_over_before + OVER_CAP)[None],
         ]
     )
-    stats_f, hist_f, over_col, over_freq = _accumulate_one(
-        stats_mid, hist, over_col, over_freq, blocks2, rows_res, rvalid,
-        qc_s[rsafe] * rvalid, wpad, jnp.int32(0), rpb,
-        gidx=gidx_s[rsafe],
+
+    def _residual(args):
+        stats_m, hist_m, oc_b, of_b = args
+        ridx = jnp.nonzero(res, size=RES_CAP, fill_value=P)[0]
+        rvalid = ridx < P
+        rsafe = jnp.minimum(ridx, P - 1)
+        rblk = blk_s[rsafe]
+        roff = off_s[rsafe]
+        rows_res = jnp.stack(
+            [
+                rblk * np.int32(rpb)
+                + ((roff >> jnp.uint32(8 * h)) & jnp.uint32(0xFF)).astype(
+                    jnp.int32
+                )
+                for h in range(num_hash)
+            ],
+            axis=1,
+        )
+        return _accumulate_one(
+            stats_m, hist_m, oc_b, of_b, blocks2, rows_res, rvalid,
+            qc_s[rsafe] * rvalid, wpad, jnp.int32(0), rpb,
+            gidx=gidx_s[rsafe],
+        )
+
+    stats_f, hist_f, over_col, over_freq = jax.lax.cond(
+        n_res > 0,
+        _residual,
+        lambda args: args,
+        (stats_mid, hist, over_col, over_freq),
     )
     n_drop_res = jnp.maximum(n_res - RES_CAP, 0)
     return stats_f, hist_f, over_col, over_freq, n_drop_over + n_drop_res
