@@ -84,12 +84,31 @@ class QueryEngine:
         # bv: 0 = classic rows, 1 = blocked, 2 = blocked split-lane (the
         # sorted-stream kernel's layout, ops/stream_query.py)
         self.bv = int(index.blocked)
-        self.rpb = (128 // self.wpad) if self.bv else 0
-        if index.bloom_size * self.wpad >= 2**31:
+        if self.bv and self.wpad > 128:
             raise ValueError(
-                "bloom_size * padded_row_words >= 2^31 unsupported (int32 "
-                "word addressing); shard colors across devices instead"
+                "blocked (turbo) layout holds a k-mer's rows in one 512B "
+                "block and supports <= 4096 colors per device; use a classic "
+                "index or shard colors across devices"
             )
+        self.rpb = (128 // self.wpad) if self.bv else 0
+        q = max(self.wpad // 128, 1)
+        addr = index.bloom_size * (q if self.wpad > 128 else self.wpad)
+        if addr >= 2**31:
+            raise ValueError(
+                "bloom_size exceeds int32 device addressing for this color "
+                "width; shard colors or rows across devices instead"
+            )
+        # wide rows multiply the epilogue's [chunk, colors] footprint; cap
+        # the scan chunk (and batch pad floors) so it stays HBM-friendly
+        if self.wpad > 128:
+            self.chunk = min(self.chunk, max((1 << 29) // (self.wpad * 128), 2048))
+            self._minpad = 2048
+            self._rid_reads = 1024
+            self._rid_floor = 4096
+        else:
+            self._minpad = 16384
+            self._rid_reads = 8192
+            self._rid_floor = 65536
         self._gmat = None
         if (
             self.bv == 2
@@ -203,7 +222,7 @@ class QueryEngine:
         for start in range(0, n, seg):
             stop = min(start + seg, n)
             m = stop - start
-            size = _round_up(m, chunk) if m > chunk else _round_up(m, 16384)
+            size = _round_up(m, chunk) if m > chunk else _round_up(m, min(self._minpad, chunk))
             csize = chunk if m > chunk else size
             if m == size:
                 qc = np.minimum(np.maximum(qcounts[start:stop], 1), 65535).astype(np.uint16)
@@ -350,7 +369,7 @@ class QueryEngine:
         """readid counts with on-device hashing (12B/kmer host traffic)."""
         C = self.index.n_colors
         out = np.zeros((n_reads, C + 1), dtype=np.int32)
-        READS = 8192
+        READS = self._rid_reads
         for r0 in range(0, n_reads, READS):
             r1 = min(r0 + READS, n_reads)
             lo = np.searchsorted(seg, r0, "left")
@@ -358,7 +377,7 @@ class QueryEngine:
             n = hi - lo
             if n == 0:
                 continue
-            size = max(1 << (int(max(n, 1)) - 1).bit_length(), 65536)
+            size = max(1 << (int(max(n, 1)) - 1).bit_length(), self._rid_floor)
             pk = np.zeros((size, 2), dtype=np.uint32)
             pk[:n] = packed[lo:hi]
             sg = np.zeros(size, dtype=np.int16)
@@ -397,7 +416,7 @@ class QueryEngine:
         budget and jit shapes stay cache-friendly."""
         C = self.index.n_colors
         out = np.zeros((n_reads, C + 1), dtype=np.int32)
-        READS = 8192
+        READS = self._rid_reads
         rows = rows.astype(np.int32, copy=False)
         for r0 in range(0, n_reads, READS):
             r1 = min(r0 + READS, n_reads)
@@ -406,7 +425,7 @@ class QueryEngine:
             n = hi - lo
             if n == 0:
                 continue
-            size = max(1 << (int(max(n, 1)) - 1).bit_length(), 65536)
+            size = max(1 << (int(max(n, 1)) - 1).bit_length(), self._rid_floor)
             rows_p = np.zeros((size, self.index.num_hash), dtype=np.int32)
             rows_p[:n] = rows[lo:hi]
             seg_p = np.zeros(size, dtype=np.int32)

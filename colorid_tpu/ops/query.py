@@ -40,13 +40,16 @@ def pack_matrix_blocks(matrix: np.ndarray) -> tuple[np.ndarray, int]:
     TPU XLA lowers row gathers with sub-tile rows to a serial scalar loop
     (~1M probes/s); gathers of full 128-lane blocks pipeline at ~80M/s. So
     the matrix is stored as [n_blocks, 128] uint32 with the row width padded
-    to a power of two (keeping each row's words inside one block). Returns
+    to a power of two (keeping each row's words inside one block). Rows wider
+    than one block (> 4096 colors per shard) pad to a multiple of 128 words
+    and span q = wpad // 128 consecutive, block-aligned blocks. Returns
     (blocks, wpad).
     """
     R, W = matrix.shape
-    wpad = 1 << (max(W, 1) - 1).bit_length()
-    if wpad > 128:
-        raise ValueError("more than 4096 colors per device shard unsupported")
+    if W > 128:
+        wpad = 128 * (-(-W // 128))
+    else:
+        wpad = 1 << (max(W, 1) - 1).bit_length()
     # rows padded to a multiple of 128 (min 256) so the sorted-stream kernel
     # (ops/stream_query.py) can tile the matrix in (128, 128) windows
     n_rows = max(((R * wpad + 128 * 128 - 1) // (128 * 128)) * 128, 256)
@@ -54,9 +57,8 @@ def pack_matrix_blocks(matrix: np.ndarray) -> tuple[np.ndarray, int]:
     if wpad == W:
         flat[: R * W] = np.ascontiguousarray(matrix).reshape(-1)
     else:
-        tmp = np.zeros((R, wpad), dtype=np.uint32)
-        tmp[:, :W] = matrix
-        flat[: R * wpad] = tmp.reshape(-1)
+        view = flat[: R * wpad].reshape(R, wpad)
+        view[:, :W] = matrix
     return flat.reshape(-1, 128), wpad
 
 
@@ -64,6 +66,17 @@ def _gather_rows(blocks2: jnp.ndarray, rows: jnp.ndarray, wpad: int):
     """vals[n, h, w] = matrix[rows[n, h], w] via fused block-gather +
     one-hot lane select (the TPU-fast replacement for jnp.take on rows)."""
     N, H = rows.shape
+    if wpad > 128:
+        # wide tier (> 4096 colors): row r owns blocks [r*q, r*q + q), always
+        # block-aligned, so the gather is q direct full-block takes with no
+        # lane select. Block (not word) addressing keeps indices in int32 for
+        # bloom_size * q < 2^31.
+        q = wpad // 128
+        blk0 = rows.reshape(-1).astype(jnp.int32) * np.int32(q)
+        parts = [
+            jnp.take(blocks2, blk0 + np.int32(j), axis=0) for j in range(q)
+        ]
+        return jnp.concatenate(parts, axis=1).reshape(N, H, wpad)
     word0 = rows.reshape(-1).astype(jnp.int32) * np.int32(wpad)  # [P]
     P = word0.shape[0]
     n_chunks = 8 if P % 8 == 0 else 1

@@ -101,6 +101,59 @@ def test_huge_frequencies_exact(setup):
     _check(res, *_oracle(index, matrix, keys, qcounts))
 
 
+def test_4200_colors_wide_tier():
+    """> 4096 colors on one device: rows span q = wpad//128 block-aligned
+    blocks (the wide gather tier); checks device-hash and rows paths against
+    a vectorized numpy oracle."""
+    rng = np.random.default_rng(29)
+    C3, bloom, H3, K3 = 4200, 3000, 3, 21
+    W3 = (C3 + 31) // 32  # 132 words -> wpad 256
+    matrix = rng.integers(0, 2**32, (bloom, W3), dtype=np.uint32)
+    matrix[:, -1] &= (1 << (C3 - 32 * (W3 - 1))) - 1
+    matrix[rng.integers(0, bloom, 600)] = 0  # absent rows
+    names = [f"w{i:04d}" for i in range(C3)]
+    index = BigsiIndex(bloom, H3, K3, 0, names, {n: 100 for n in names}, matrix)
+    engine = QueryEngine(index)
+    assert engine.wpad == 256
+    keys = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(1200, K3))
+    qcounts = rng.integers(1, 5000, 1200).astype(np.int32)
+
+    rows = np.array(
+        [
+            [
+                xxhash.xxh3_64_intdigest(to_str(kb).encode(), s) % bloom
+                for s in range(H3)
+            ]
+            for kb in keys
+        ]
+    )
+    words = matrix[rows]  # [N, H, W]
+    valid = (words != 0).any(axis=2).all(axis=1)
+    a = words[:, 0].copy()
+    for h in range(1, H3):
+        a &= words[:, h]
+    bits = np.unpackbits(
+        a.view(np.uint8), axis=1, bitorder="little"
+    ).astype(np.int64)[:, :C3]
+    vbits = bits * valid[:, None]
+    counts = vbits.sum(axis=0)
+    nhits = vbits.sum(axis=1)
+    uniq = {}
+    for i in np.nonzero(valid & (nhits == 1))[0]:
+        uniq.setdefault(int(np.argmax(vbits[i])), []).append(int(qcounts[i]))
+    and_all = np.full(W3, 0xFFFFFFFF, dtype=np.uint32)
+    for i in np.nonzero(valid)[0]:
+        and_all &= a[i]
+
+    for res in (
+        engine.search_keys(keys, qcounts=qcounts),
+        engine.search_keys(
+            None, qcounts=qcounts, rows_all=engine.rows_for_keys(keys)
+        ),
+    ):
+        _check(res, counts, uniq, bool(valid.all()), and_all)
+
+
 def test_200_colors_wpad8():
     """7-word rows (wpad=8): the widest packing tier below color-sharding."""
     rng = np.random.default_rng(13)
