@@ -49,6 +49,8 @@ class BigsiIndex:
 
     @property
     def words_per_row(self) -> int:
+        if self.matrix is None:  # metadata-only (e.g. row-sharded build)
+            return (self.n_colors + 31) // 32
         return self.matrix.shape[1]
 
     def color_map(self) -> dict[int, str]:

@@ -34,6 +34,14 @@ def _unpack_bits(words: jnp.ndarray) -> jnp.ndarray:
     return bits.reshape(*words.shape[:-1], words.shape[-1] * 32).astype(jnp.int32)
 
 
+def row_wpad(W: int) -> int:
+    """Padded row width in words for a W-word row (pack_matrix_blocks'
+    layout): next power of two up to one block, multiples of 128 beyond."""
+    if W > 128:
+        return 128 * (-(-W // 128))
+    return 1 << (max(W, 1) - 1).bit_length()
+
+
 def pack_matrix_blocks(matrix: np.ndarray) -> tuple[np.ndarray, int]:
     """Re-pack the [R, W] matrix for the block-gather kernel.
 
@@ -46,10 +54,7 @@ def pack_matrix_blocks(matrix: np.ndarray) -> tuple[np.ndarray, int]:
     (blocks, wpad).
     """
     R, W = matrix.shape
-    if W > 128:
-        wpad = 128 * (-(-W // 128))
-    else:
-        wpad = 1 << (max(W, 1) - 1).bit_length()
+    wpad = row_wpad(W)
     # rows padded to a multiple of 128 (min 256) so the sorted-stream kernel
     # (ops/stream_query.py) can tile the matrix in (128, 128) windows
     n_rows = max(((R * wpad + 128 * 128 - 1) // (128 * 128)) * 128, 256)

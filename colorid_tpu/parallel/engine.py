@@ -30,6 +30,7 @@ class ShardedQueryEngine:
         layout: str = "color",
         n_data: int = 1,
         chunk: int = 1 << 18,
+        sharded_matrix: tuple | None = None,
     ):
         import jax
 
@@ -40,6 +41,14 @@ class ShardedQueryEngine:
             n = len(jax.devices())
             mesh = sharded.make_mesh(n_data, n // n_data, layout)
         self.mesh = mesh
+        if sharded_matrix is not None:
+            # device-resident blocks from a row-sharded build
+            # (ops/build_ops.py::build_matrix_rowshard + pack_blocks_rowshard):
+            # the full matrix never touches the host; index.matrix may be None
+            if layout != "row":
+                raise ValueError("sharded_matrix requires layout='row'")
+            self.mat, self.wpad, self.Rl = sharded_matrix
+            return
         matrix = np.asarray(index.matrix)
         if layout == "color":
             self.mat, self.wpad, self.Wl = sharded.device_put_colorshard(

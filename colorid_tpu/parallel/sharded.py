@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.query import _gather_rows, _unpack_bits, pack_matrix_blocks
+from ..ops.query import _gather_rows, _unpack_bits, pack_matrix_blocks, row_wpad
 
 
 def make_mesh(n_data: int, n_model: int, model_axis: str) -> Mesh:
@@ -44,7 +44,7 @@ def device_put_colorshard(matrix: np.ndarray, mesh: Mesh):
     n = mesh.shape["color"]
     R, W = matrix.shape
     Wl = -(-W // n)
-    wpad = 1 << (max(Wl, 1) - 1).bit_length()
+    wpad = row_wpad(Wl)
     shards = []
     for i in range(n):
         sl = np.zeros((R, Wl), dtype=np.uint32)
@@ -66,7 +66,7 @@ def device_put_rowshard(matrix: np.ndarray, mesh: Mesh):
     n = mesh.shape["row"]
     R, W = matrix.shape
     Rl = -(-R // n)
-    wpad = 1 << (max(W, 1) - 1).bit_length()
+    wpad = row_wpad(W)
     shards = []
     for i in range(n):
         sl = np.zeros((Rl, W), dtype=np.uint32)
