@@ -22,13 +22,85 @@ from __future__ import annotations
 
 import argparse
 import json
+import queue
 import sys
+import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class _State:
     engine = None
     lock = None
+    batcher = None
+
+
+class _ClassifyBatcher:
+    """Micro-batching for /classify: a 1-read request pads to the same
+    kernel launch as thousands of reads, so concurrent small requests are
+    coalesced into one device batch (grouped by identical classify params)
+    instead of serializing one padded launch each behind the lock."""
+
+    def __init__(self, max_reads: int = 8192, max_wait_ms: float = 8.0):
+        self.q: queue.Queue = queue.Queue()
+        self.max_reads = max_reads
+        self.max_wait = max_wait_ms / 1000.0
+        threading.Thread(target=self._worker, daemon=True).start()
+
+    def submit(self, batch: list, params: tuple) -> list:
+        ev = threading.Event()
+        slot: dict = {}
+        self.q.put((batch, params, ev, slot))
+        ev.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["rows"]
+
+    def _worker(self):
+        from .pipelines.read_id import classify_batch
+
+        while True:
+            pend = [self.q.get()]
+            deadline = time.monotonic() + self.max_wait
+            total = len(pend[0][0])
+            while total < self.max_reads:
+                tmo = deadline - time.monotonic()
+                if tmo <= 0:
+                    break
+                try:
+                    nxt = self.q.get(timeout=tmo)
+                except queue.Empty:
+                    break
+                pend.append(nxt)
+                total += len(nxt[0])
+            groups: dict[tuple, list[int]] = {}
+            for i, (_b, p, _ev, _s) in enumerate(pend):
+                groups.setdefault(p, []).append(i)
+            for p, idxs in groups.items():
+                d, fp_correct, start_sample = p
+                cat: list = []
+                bounds = []
+                for i in idxs:
+                    b = pend[i][0]
+                    bounds.append((len(cat), len(cat) + len(b)))
+                    cat.extend(b)
+                try:
+                    with _State.lock:
+                        rows = classify_batch(
+                            cat,
+                            _State.engine,
+                            d=d,
+                            fp_correct=fp_correct,
+                            start_sample=start_sample,
+                        )
+                except Exception as e:  # deliver the failure to every waiter
+                    for i in idxs:
+                        pend[i][3]["err"] = e
+                        pend[i][2].set()
+                    continue
+                for i, (lo, hi) in zip(idxs, bounds):
+                    pend[i][3]["rows"] = rows[lo:hi]
+                    pend[i][2].set()
 
 
 def _search_payload(payload: dict) -> dict:
@@ -75,21 +147,17 @@ def _search_payload(payload: dict) -> dict:
 
 def _classify_payload(payload: dict) -> dict:
     from .core.dna import to_bytes
-    from .pipelines.read_id import classify_batch
 
-    engine = _State.engine
     batch = [
         (r.get("id", f"read{i}"), [to_bytes(s) for s in r["seqs"]])
         for i, r in enumerate(payload["reads"])
     ]
-    fp_correct = 10.0 ** (-float(payload.get("fp_correct", 3.0)))
-    rows = classify_batch(
-        batch,
-        engine,
-        d=int(payload.get("down_sample", 1)),
-        fp_correct=fp_correct,
-        start_sample=int(payload.get("bitvector_sample", 3)),
+    params = (
+        int(payload.get("down_sample", 1)),
+        10.0 ** (-float(payload.get("fp_correct", 3.0))),
+        int(payload.get("bitvector_sample", 3)),
     )
+    rows = _State.batcher.submit(batch, params)
     return {
         "rows": [
             {
@@ -158,25 +226,26 @@ class Handler(BaseHTTPRequestHandler):
             self._send(400, {"error": "bad json"})
             return
         try:
-            with _State.lock:
-                if self.path == "/search":
+            if self.path == "/search":
+                with _State.lock:
                     self._send(200, _search_payload(payload))
-                elif self.path == "/classify":
-                    self._send(200, _classify_payload(payload))
-                else:
-                    self._send(404, {"error": "not found"})
+            elif self.path == "/classify":
+                # device serialization happens inside the batcher's worker;
+                # concurrent requests coalesce into one launch
+                self._send(200, _classify_payload(payload))
+            else:
+                self._send(404, {"error": "not found"})
         except Exception as e:  # surface errors to the client
             self._send(500, {"error": str(e)})
 
 
 def make_server(bigsi_path: str, port: int, host: str = "127.0.0.1"):
-    import threading
-
     from .engine import QueryEngine
     from .index.bigsi import BigsiIndex
 
     _State.engine = QueryEngine(BigsiIndex.load(bigsi_path))
     _State.lock = threading.Lock()
+    _State.batcher = _ClassifyBatcher()
     return ThreadingHTTPServer((host, port), Handler)
 
 

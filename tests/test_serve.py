@@ -70,6 +70,26 @@ def test_classify(server):
     assert len(ok) >= 15
 
 
+def test_classify_concurrent_microbatch(server):
+    """Concurrent small /classify requests coalesce in the micro-batcher and
+    return per-request results identical to a sequential run."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    g = "".join(read_fasta(f"{REFS}/Listeria_phage_B051.fasta"))
+    payloads = [
+        {"reads": [{"id": f"c{j}_{i}", "seqs": [g[(7 * j + i) * 300 : (7 * j + i) * 300 + 150]]} for i in range(3)]}
+        for j in range(12)
+    ]
+    sequential = [_post(server + "/classify", p)["rows"] for p in payloads]
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        concurrent = list(
+            ex.map(lambda p: _post(server + "/classify", p)["rows"], payloads)
+        )
+    assert concurrent == sequential
+    for rows, p in zip(concurrent, payloads):
+        assert [r["id"] for r in rows] == [r["id"] for r in p["reads"]]
+
+
 def test_bad_json(server):
     req = urllib.request.Request(
         server + "/search", b"{not json", headers={"Content-Type": "application/json"}
