@@ -92,11 +92,13 @@ class QueryEngine:
             )
         self.rpb = (128 // self.wpad) if self.bv else 0
         q = max(self.wpad // 128, 1)
-        addr = index.bloom_size * (q if self.wpad > 128 else self.wpad)
+        # device addressing is per-block (int32): rows <= one block need only
+        # the row index to fit; wide rows address bloom_size * q blocks
+        addr = index.bloom_size * (q if self.wpad > 128 else 1)
         if addr >= 2**31:
             raise ValueError(
-                "bloom_size exceeds int32 device addressing for this color "
-                "width; shard colors or rows across devices instead"
+                "bloom_size exceeds int32 device block addressing for this "
+                "color width; shard colors or rows across devices instead"
             )
         # wide rows multiply the epilogue's [chunk, colors] footprint; cap
         # the scan chunk (and batch pad floors) so it stays HBM-friendly

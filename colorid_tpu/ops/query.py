@@ -82,14 +82,18 @@ def _gather_rows(blocks2: jnp.ndarray, rows: jnp.ndarray, wpad: int):
             jnp.take(blocks2, blk0 + np.int32(j), axis=0) for j in range(q)
         ]
         return jnp.concatenate(parts, axis=1).reshape(N, H, wpad)
-    word0 = rows.reshape(-1).astype(jnp.int32) * np.int32(wpad)  # [P]
-    P = word0.shape[0]
+    # block/lane computed from the row index directly (NOT via the word
+    # offset rows*wpad, which would overflow int32 for bloom_size * wpad
+    # >= 2^31): rpw rows fit one 128-lane block, both powers of two.
+    shift = (128 // wpad).bit_length() - 1  # log2(rows per block)
+    r = rows.reshape(-1).astype(jnp.int32)  # [P]
+    P = r.shape[0]
     n_chunks = 8 if P % 8 == 0 else 1
     lanes = jnp.arange(128, dtype=jnp.int32)[None, :]
 
-    def chunk(carry, w0):
-        blk = w0 >> 7
-        lane = w0 & 127
+    def chunk(carry, rr):
+        blk = rr >> shift
+        lane = (rr & ((1 << shift) - 1)) * np.int32(wpad)
         b = jnp.take(blocks2, blk, axis=0)  # [CP, 128]
         outs = [
             (b * (lanes == (lane + w)[:, None]).astype(jnp.uint32)).sum(
@@ -99,7 +103,7 @@ def _gather_rows(blocks2: jnp.ndarray, rows: jnp.ndarray, wpad: int):
         ]
         return carry, jnp.stack(outs, axis=1)  # [CP, wpad]
 
-    _, vals = jax.lax.scan(chunk, 0, word0.reshape(n_chunks, P // n_chunks))
+    _, vals = jax.lax.scan(chunk, 0, r.reshape(n_chunks, P // n_chunks))
     return vals.reshape(N, H, wpad)
 
 
