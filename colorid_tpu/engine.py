@@ -307,23 +307,127 @@ class QueryEngine:
                 )
             finally:
                 self._gmat = gmat
+        return self._collect(stats, hist, oc_buf, of_buf, capO, qcounts)
+
+    def _collect(self, stats, hist, oc_buf, of_buf, capO, qcounts=None):
+        """Fetch the device accumulators into a SearchResult. With a host
+        ``qcounts`` copy, overflow slots hold global k-mer indices resolved
+        against it; without one (device-resident counting) they hold the
+        exact frequency directly."""
+        C = self.index.n_colors
+        W = self.index.words_per_row
+        none = np.zeros(0, dtype=np.int32)
         st = np.asarray(stats)
-        counts += st[:C].astype(np.int64)
-        and_all &= st[C : C + W].astype(np.uint32)
+        counts = st[:C].astype(np.int64)
+        and_all = st[C : C + W].astype(np.uint32)
         all_valid = bool(st[C + self.wpad])
         n_over = int(st[C + self.wpad + 1])
         hist_np = np.asarray(hist).astype(np.int64)
         if n_over:
             kp = min(_round_up(n_over, 1024), capO)
             over_c = np.asarray(oc_buf[:kp])[:n_over]
-            over_idx = np.asarray(of_buf[:kp])[:n_over]
-            # exact frequencies resolved from the host copy (device sees
-            # uint16-clipped values; overflow entries carry the k-mer index)
-            over_f = qcounts[over_idx].astype(np.int32)
+            over_v = np.asarray(of_buf[:kp])[:n_over]
+            if qcounts is not None:
+                over_f = qcounts[over_v].astype(np.int32)
+            else:
+                over_f = over_v.astype(np.int32)
         else:
             over_c = none
             over_f = none
         return SearchResult(counts, all_valid, and_all, hist_np, over_c, over_f)
+
+    def search_reads(
+        self,
+        reads_packed: np.ndarray,  # uint32 [R, ceil(L/16)] 2-bit read words
+        lens: np.ndarray,  # int32 [R] true read lengths
+        *,
+        k: int,
+        L: int,
+        filter_t: int = 0,
+        d: int = 1,
+    ) -> tuple[SearchResult, int]:
+        """Search a batch of uppercase-ACGT reads shipped as 2-bit words.
+
+        The device extracts canonical k-mer windows, counts them, applies
+        the strictly-greater frequency filter (kmer.rs:826-837) and queries
+        the index, all without the k-mers ever existing host-side
+        (ops/extract.py): the host link carries ~0.27 bytes per read base
+        instead of 10 bytes per unique k-mer. Returns (result, n_unique
+        filtered k-mers). Reads containing N/lowercase must go through
+        search_keys via the exact host path instead.
+        """
+        if not (4 <= k <= 32 and self.index.bloom_size < 2**30):
+            raise ValueError("search_reads requires the device-hash envelope")
+        from .ops.extract import extract_count
+        from .ops.query import query_accumulate_hash_scan_exact
+
+        pk, qc, n_u = extract_count(
+            jnp.asarray(reads_packed),
+            jnp.asarray(np.asarray(lens, dtype=np.int32)),
+            k=k, L=L, filter_t=filter_t, d=d,
+        )
+        n = int(n_u)  # tiny scalar D2H; keys/counts stay device-resident
+        C = self.index.n_colors
+        W = self.index.words_per_row
+        if n == 0:
+            return (
+                SearchResult(
+                    np.zeros(C, dtype=np.int64), True,
+                    np.full(W, 0xFFFFFFFF, dtype=np.uint32),
+                    np.zeros((C, FREQ_CAP), dtype=np.int64),
+                    np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32),
+                ),
+                0,
+            )
+        stats = jnp.concatenate(
+            [
+                jnp.zeros(C, dtype=jnp.int32),
+                jnp.full(self.wpad, -1, dtype=jnp.int32),
+                jnp.array([1, 0], dtype=jnp.int32),
+            ]
+        )
+        hist = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
+        capO = _round_up(n, 1024)
+        oc_buf = jnp.zeros(capO, dtype=jnp.int32)
+        of_buf = jnp.zeros(capO, dtype=jnp.int32)
+        chunk = min(self.chunk, 1 << 20)
+        seg = chunk * 8
+        # padding slots beyond n_u already carry qcounts == 0 (the kernels'
+        # padding marker); grow the arrays only if a segment overruns them
+        need = 0
+        for start in range(0, n, seg):
+            m = min(start + seg, n) - start
+            size = _round_up(m, chunk) if m > chunk else _round_up(
+                m, min(self._minpad, chunk)
+            )
+            need = max(need, start + size)
+        if need > pk.shape[0]:
+            pad = need - pk.shape[0]
+            pk = jnp.concatenate([pk, jnp.zeros((pad, 2), dtype=jnp.uint32)])
+            qc = jnp.concatenate([qc, jnp.zeros(pad, dtype=jnp.int32)])
+        for start in range(0, n, seg):
+            m = min(start + seg, n) - start
+            size = _round_up(m, chunk) if m > chunk else _round_up(
+                m, min(self._minpad, chunk)
+            )
+            csize = chunk if m > chunk else size
+            stats, hist, oc_buf, of_buf = query_accumulate_hash_scan_exact(
+                stats,
+                hist,
+                oc_buf,
+                of_buf,
+                self.blocks2,
+                pk[start : start + size],
+                qc[start : start + size],
+                wpad=self.wpad,
+                chunk=csize,
+                k=k,
+                num_hash=self.index.num_hash,
+                bloom_size=self.index.bloom_size,
+                rpb=self.rpb,
+                bv=self.bv or 1,
+            )
+        return self._collect(stats, hist, oc_buf, of_buf, capO), n
 
     # -- read classifier (read_id hot loop) ----------------------------------
 

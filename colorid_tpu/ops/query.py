@@ -421,6 +421,63 @@ def query_accumulate_hash_scan(
     return stats, hist, over_col, over_freq
 
 
+@partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2, 3),
+    static_argnames=("wpad", "chunk", "k", "num_hash", "bloom_size", "rpb",
+                     "bv"),
+)
+def query_accumulate_hash_scan_exact(
+    stats: jnp.ndarray,
+    hist: jnp.ndarray,
+    over_col: jnp.ndarray,
+    over_freq: jnp.ndarray,
+    blocks2: jnp.ndarray,
+    packed: jnp.ndarray,  # uint32 [n_pad, 2] 2-bit packed canonical k-mers
+    qcounts: jnp.ndarray,  # int32 [n_pad] EXACT frequencies; 0 marks padding
+    *,
+    wpad: int,
+    chunk: int,
+    k: int,
+    num_hash: int,
+    bloom_size: int,
+    rpb: int = 0,
+    bv: int = 1,
+):
+    """query_accumulate_hash_scan for device-resident queries (ops/extract.py
+    counted the k-mers on device, so frequencies are exact int32 and never
+    crossed the host link): overflow slots (freq >= FREQ_CAP) record the
+    frequency itself instead of a global k-mer index, since no host-side
+    copy exists to resolve it from."""
+    n = packed.shape[0]
+    n_chunks = n // chunk
+    p_c = packed.reshape(n_chunks, chunk, 2)
+    qc_c = qcounts.reshape(n_chunks, chunk)
+
+    def step(carry, xs):
+        stats, hist, over_col, over_freq = carry
+        p, q = xs
+        limbs = _limbs_from_packed_lazy(p, k)
+        rows = _device_rows(limbs, k, num_hash, bloom_size, rpb, bv == 2)
+        mask = q > 0
+        stats, hist, over_col, over_freq = _accumulate_one(
+            stats, hist, over_col, over_freq, blocks2, rows, mask, q, wpad,
+            jnp.int32(0), rpb, gidx=q,
+        )
+        return (stats, hist, over_col, over_freq), 0
+
+    (stats, hist, over_col, over_freq), _ = jax.lax.scan(
+        step, (stats, hist, over_col, over_freq), (p_c, qc_c)
+    )
+    return stats, hist, over_col, over_freq
+
+
+def _limbs_from_packed_lazy(p, k):
+    from .hash_jax import _limbs_from_packed
+
+    return _limbs_from_packed(p[:, 0], p[:, 1], k)
+
+
 PAD_POS = np.int32(2**30)  # kmer_pos for padding slots: never counted
 
 
