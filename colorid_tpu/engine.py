@@ -194,12 +194,20 @@ class QueryEngine:
         if n == 0:
             return SearchResult(counts, True, and_all, empty_hist, none, none)
         if packed_all is not None and not (
-            k and 4 <= k <= 32 and self.index.bloom_size < 2**30
+            k and 4 <= k <= 32 and self.index.bloom_size < 2**31
         ):
-            packed_all = None  # device hash envelope exceeded
+            # device hash envelope exceeded: fall back to host hashing
+            packed_all = None
+            if keys is None and rows_all is None:
+                raise ValueError(
+                    "packed_all is outside the device-hash envelope "
+                    f"(k={k}, bloom_size={self.index.bloom_size}; need "
+                    "4 <= k <= 32 and bloom_size < 2^31) and no keys/rows "
+                    "were given to hash host-side"
+                )
         if packed_all is None and rows_all is None:
             k = keys.shape[1]
-            if 4 <= k <= 32 and self.index.bloom_size < 2**30:
+            if 4 <= k <= 32 and self.index.bloom_size < 2**31:
                 packed_all = pack_keys_host(keys)
             if packed_all is None:
                 rows_all = self.rows_for_keys(keys)
@@ -356,8 +364,15 @@ class QueryEngine:
         filtered k-mers). Reads containing N/lowercase must go through
         search_keys via the exact host path instead.
         """
-        if not (4 <= k <= 32 and self.index.bloom_size < 2**30):
+        if not (4 <= k <= 32 and self.index.bloom_size < 2**31):
             raise ValueError("search_reads requires the device-hash envelope")
+        n_windows = reads_packed.shape[0] * (L - k + 1)
+        if n_windows >= 2**31:
+            raise ValueError(
+                f"read batch spans {n_windows} k-mer windows, beyond int32 "
+                "device indexing; split the batch (R * (L - k + 1) must stay "
+                "under 2^31)"
+            )
         from .ops.extract import extract_count
         from .ops.query import query_accumulate_hash_scan_exact
 

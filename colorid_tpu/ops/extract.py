@@ -56,6 +56,24 @@ def pack_reads(seqs: np.ndarray) -> np.ndarray | None:
     return (cp.reshape(R, Lw, 16) << shifts).sum(axis=2, dtype=np.uint32)
 
 
+def pack_reads_masked(seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """pack_reads with per-read routing: returns (words [R, ceil(L/16)],
+    clean bool [R]). Dirty reads (any byte outside uppercase ACGT) pack as
+    all-A placeholders with clean[i] == False so callers can send only the
+    clean rows through the device fast path and route the dirty minority to
+    the exact host path (the reference skips only N-containing windows,
+    kmer.rs:87-125, so a whole-batch reject would be needlessly coarse)."""
+    R, L = seqs.shape
+    codes = _CODE[seqs]
+    clean = ~(codes == 255).any(axis=1)
+    codes = np.where(clean[:, None], codes, np.uint8(0))
+    Lw = words_per_read(L)
+    cp = np.zeros((R, Lw * 16), dtype=np.uint32)
+    cp[:, :L] = codes
+    shifts = (2 * (15 - np.arange(16, dtype=np.uint32))).astype(np.uint32)
+    return (cp.reshape(R, Lw, 16) << shifts).sum(axis=2, dtype=np.uint32), clean
+
+
 def _unpack_codes(words: jnp.ndarray, L: int) -> jnp.ndarray:
     """[R, Lw] uint32 words -> [R, L] uint32 base codes (0..3)."""
     R, Lw = words.shape
@@ -168,6 +186,8 @@ def count_histogram(
     D2H fetch before filtering."""
     R = reads_packed.shape[0]
     NW = L - k + 1
+    if NW <= 0:
+        raise ValueError("L < k")
     codes = _unpack_codes(reads_packed, L)
     lo, hi = _window_limbs(codes, k, NW)
     w_idx = jnp.arange(NW, dtype=jnp.int32)[None, :]

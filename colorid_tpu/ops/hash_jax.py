@@ -322,22 +322,49 @@ def _mul64_full(a, b_const: tuple[np.uint32, np.uint32]):
 
 
 def _mod_barrett(h, m: int):
-    """h mod m for m < 2^30 via Barrett reduction with R = floor(2^63/m):
-    q = (h*R) >> 63 underestimates h/m by < 2, so r = h - q*m < 4m < 2^32
-    fits uint32 and needs at most 3 conditional subtracts."""
-    R = (1 << 63) // m
+    """h mod m for m < 2^31 via Barrett reduction.
+
+    m < 2^30: R = floor(2^63/m); q = (h*R) >> 63 underestimates h/m by < 2,
+    so r = h - q*m < 4m < 2^32 fits uint32 and needs at most 3 conditional
+    subtracts.
+
+    2^30 <= m < 2^31 (the int32 device block-addressing limit): R =
+    floor(2^64/m) < 2^34 still fits 64 bits; q = high 64 bits of h*R
+    underestimates h/m by < 3, so the remainder needs 64-bit conditional
+    subtracts (r < 4m can exceed 2^32) before the final value (< m < 2^31)
+    collapses to the low limb."""
+    if m < 2**30:
+        R = (1 << 63) // m
+        w0, w1, w2, w3 = _mul64_full(h, _c(R))
+        # q = product >> 63 (take bits 63.. of the 128-bit product)
+        q_lo = (w1 >> U32(31)) | (w2 << U32(1))
+        q_hi = (w2 >> U32(31)) | (w3 << U32(1))
+        # r = h - q*m (low 64 bits); r < 4m < 2^32 so the low limb suffices
+        qm = _mul64_fold_low((q_lo, q_hi), _c(m))
+        r = h[0] - qm[0]
+        mm = np.uint32(m)
+        r = r - mm * (r >= mm).astype(U32)
+        r = r - mm * (r >= mm).astype(U32)
+        r = r - mm * (r >= mm).astype(U32)
+        return r
+    if m >= 2**31:
+        raise ValueError("device modulo supports m < 2^31")
+    R = (1 << 64) // m
     w0, w1, w2, w3 = _mul64_full(h, _c(R))
-    # q = product >> 63 (take bits 63.. of the 128-bit product)
-    q_lo = (w1 >> U32(31)) | (w2 << U32(1))
-    q_hi = (w2 >> U32(31)) | (w3 << U32(1))
-    # r = h - q*m (low 64 bits); r < 4m < 2^32 so the low limb suffices
-    qm = _mul64_fold_low((q_lo, q_hi), _c(m))
-    r = h[0] - qm[0]
+    q = (w2, w3)  # product >> 64
+    qm = _mul64_fold_low(q, _c(m))
+    # r = h - q*m in 64-bit limbs; 0 <= r < 4m < 2^33
+    r_lo = h[0] - qm[0]
+    borrow = (r_lo > h[0]).astype(U32)
+    r_hi = h[1] - qm[1] - borrow
     mm = np.uint32(m)
-    r = r - mm * (r >= mm).astype(U32)
-    r = r - mm * (r >= mm).astype(U32)
-    r = r - mm * (r >= mm).astype(U32)
-    return r
+    for _ in range(3):
+        ge = (r_hi > U32(0)) | (r_lo >= mm)
+        sub = mm * ge.astype(U32)
+        new_lo = r_lo - sub
+        r_hi = r_hi - (new_lo > r_lo).astype(U32) * ge.astype(U32)
+        r_lo = new_lo
+    return r_lo
 
 
 @partial(jax.jit, static_argnames=("k", "num_hash", "bloom_size"))

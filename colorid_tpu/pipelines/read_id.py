@@ -180,7 +180,7 @@ def classify_batch(
         todo_idx.append(i)
     if not todo_idx:
         return out
-    packed_ok = index.bloom_size < 2**30
+    packed_ok = index.bloom_size < 2**31
     # reads containing lowercase bases need the exact byte-order path;
     # everything else flows through the C++ fast path
     clean_idx, dirty_idx = _split_lowercase(batch, todo_idx)

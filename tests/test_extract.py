@@ -154,3 +154,30 @@ def test_search_reads_overflow_freqs(phage_engine):
     assert n_u == 1
     stats = res.freq_stats()
     assert any(abs(mean - 1500.0) < 1e-9 and n == 1 for mean, _, n in stats.values())
+
+
+def test_pack_reads_masked_routes_dirty():
+    from colorid_tpu.ops.extract import pack_reads_masked
+
+    reads = np.frombuffer(b"ACGTACGTACGTACGT" * 3, dtype=np.uint8).reshape(3, 16).copy()
+    reads[1, 5] = ord("N")
+    words, clean = pack_reads_masked(reads)
+    assert clean.tolist() == [True, False, True]
+    # clean rows pack identically to pack_reads on the clean subset
+    ref = pack_reads(reads[[0, 2]])
+    np.testing.assert_array_equal(words[[0, 2]], ref)
+
+
+def test_count_histogram_rejects_short():
+    from colorid_tpu.ops.extract import count_histogram
+
+    reads = np.frombuffer(b"ACGTACGTACGTACGT", dtype=np.uint8)[None].copy()
+    lens = np.array([16], dtype=np.int32)
+    with pytest.raises(ValueError):
+        count_histogram(pack_reads(reads), jnp_arr(lens), k=20, L=16)
+
+
+def jnp_arr(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
