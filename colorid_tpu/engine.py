@@ -111,30 +111,28 @@ class QueryEngine:
             self._minpad = 16384
             self._rid_reads = 8192
             self._rid_floor = 65536
-        self._gmat = None
+        self._stream = False
         if (
             self.bv == 2
-            and index.num_hash <= 4
+            and index.num_hash in (1, 2, 4)  # the kernel's gather trees
             and self.wpad <= 4
             and index.n_colors <= 127
-            and os.environ.get("COLORID_STREAM", "0") != "0"
+            and os.environ.get("COLORID_STREAM", "1") != "0"
         ):
-            from .ops.stream_query import _g_matrix, byte_plane_blocks
+            from .ops.stream_query import byte_plane_blocks
 
-            self._gmat = jnp.asarray(
-                _g_matrix(index.num_hash, self.wpad), dtype=jnp.bfloat16
-            )
-            # bf16 byte-plane copy of the matrix (2x its HBM footprint;
+            # int8 byte-plane copy of the matrix (1x its HBM footprint;
             # only materialized when streaming is enabled)
             self._blocks_bp = byte_plane_blocks(self.blocks2)
+            self._stream = True
 
     def _use_stream(self, seg_kmers: int) -> bool:
-        """Sorted-stream kernel is opt-in (COLORID_STREAM=1|force): it only
-        pays off when probes are dense relative to the matrix (each
-        128-block tile touched by many probes), and as measured it does not
-        yet beat the block gather at bench density — see PERF.md. 'force'
-        streams every segment (testing); '1' applies the density gate."""
-        if self._gmat is None:
+        """Sorted-stream kernel (default on for eligible blocked-v2
+        indexes): it pays off when probes are dense relative to the matrix
+        (each 128-block tile touched by many probes); sparse segments keep
+        the generic block gather. COLORID_STREAM=force streams every
+        segment (testing); =0 disables."""
+        if not self._stream:
             return False
         if os.environ.get("COLORID_STREAM") == "force":
             return True
@@ -256,7 +254,6 @@ class QueryEngine:
                         of_buf,
                         self.blocks2,
                         self._blocks_bp,
-                        self._gmat,
                         jnp.asarray(pk),
                         jnp.asarray(qc),
                         jnp.int32(start),
@@ -308,13 +305,13 @@ class QueryEngine:
         if drops and int(sum(int(np.asarray(d)) for d in drops)) > 0:
             # stream-kernel residual/overflow capacity exceeded (requires a
             # pathological probe distribution): rerun on the generic path
-            gmat, self._gmat = self._gmat, None
+            self._stream = False
             try:
                 return self.search_keys(
                     keys, qcounts, rows_all, packed_all, k
                 )
             finally:
-                self._gmat = gmat
+                self._stream = True
         return self._collect(stats, hist, oc_buf, of_buf, capO, qcounts)
 
     def _collect(self, stats, hist, oc_buf, of_buf, capO, qcounts=None):

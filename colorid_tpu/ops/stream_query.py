@@ -1,7 +1,7 @@
 """Sorted-stream Pallas query kernel for blocked-v2 (split-lane) indexes.
 
 The generic query path gathers one random 512-byte block per k-mer through
-XLA's row gather (~80M blocks/s on v5e, ~5% of HBM bandwidth). This module
+XLA's row gather (~75M blocks/s on v5e, ~6% of HBM bandwidth). This module
 replaces the gather for large query batches with a bandwidth-shaped plan:
 
 1. hash on device (ops/hash_jax.py) -> block index + per-hash lane offsets,
@@ -12,18 +12,22 @@ replaces the gather for large query batches with a bandwidth-shaped plan:
    window per chunk. Consecutive chunks reuse the window (the pipeline
    elides copies when the block index is unchanged), so the matrix streams
    HBM->VMEM at most twice per segment regardless of probe count.
-4. inside the kernel the gather is a one-hot bf16 MXU contraction (no
-   dynamic indexing), the H words of each k-mer come out of a second fixed
-   0/1-matrix contraction (possible because the v2 layout confines hash h
-   to its own lane group -- a split-block Bloom filter), and the whole
-   epilogue (AND across hashes, presence, per-color counts, uniq-hit
-   detection, the [C, FREQ_CAP] frequency histogram) accumulates in VMEM.
+4. inside the kernel the block gather is an int8 one-hot MXU contraction
+   over byte planes (no dynamic row indexing), the H words of each k-mer
+   come out of per-vreg lane gathers (take_along_axis -> tpu.dynamic_gather;
+   possible because the v2 layout confines hash h to its own lane group --
+   a split-block Bloom filter), AND/presence reduce via constant-pattern
+   lane-gather trees, and the whole epilogue (per-color counts, uniq-hit
+   detection, the [C, HIST_W] frequency histogram) accumulates in VMEM.
 
 Sorting reorders k-mers, which is sound because every accumulated statistic
 (counts, histogram, global AND, overflow multiset keyed by global index) is
 permutation-invariant; the rare out-of-window probes (possible only at low
 probe density) are re-run exactly through the generic gather path
-(`_residual_pass`).
+(`_residual_pass`). Uniq-hit frequencies >= HIST_W bypass the in-kernel
+histogram through the exact overflow list (the host resolves them from the
+recorded global k-mer index), so narrowing the kernel histogram loses
+nothing.
 
 Replicates batch_search_pe.rs:45-83 semantics (per-k-mer row AND, per-color
 counts, uniq_freqs) like ops/query.py::query_accumulate_hash_scan, with
@@ -44,8 +48,13 @@ from .query import FREQ_CAP, _accumulate_one, _device_blkoff
 
 T = 128  # matrix tile rows (512-byte blocks) per window half
 PC = 1024  # probes per grid step
+HIST_W = 256  # in-kernel uniq-hit frequency histogram width (<= FREQ_CAP)
 RES_CAP = 8192  # out-of-window probes re-run via the generic path
-OVER_CAP = 1 << 15  # uniq-hit frequency-overflow entries per segment
+OVER_CAP = 1 << 18  # uniq-hit frequency-overflow entries per segment
+
+# sum over byte planes of the +128 de-offset corrections: 128 * (1 + 256 +
+# 65536 + 16777216) = 0x80808080, as an int32 bit pattern
+_DEOFFSET = np.int32(np.uint32(0x80808080).astype(np.int64) - (1 << 32))
 
 
 def _interpret() -> bool:
@@ -54,158 +63,156 @@ def _interpret() -> bool:
 
 @jax.jit
 def byte_plane_blocks(blocks2: jnp.ndarray) -> jnp.ndarray:
-    """[Rb, 128] uint32 -> bf16 [Rb, 512] byte planes (col 128*p + lane =
-    byte p of the word at lane). Bytes are <= 255, exactly representable in
-    bf16, so the kernel's one-hot MXU gather needs no in-kernel conversion.
-    Built on device from the resident u32 matrix (no extra host transfer)."""
+    """[Rb, 128] uint32 -> int8 [Rb, 512] offset byte planes (col 128*p +
+    lane = byte p of the word at lane, minus 128 so it fits int8). The
+    kernel's one-hot gather runs on the int8 MXU and re-adds the offsets as
+    one fused constant. Built on device from the resident u32 matrix (no
+    extra host transfer); costs 1x the matrix footprint."""
     planes = [
-        ((blocks2 >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        (((blocks2 >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(jnp.int32)
+         - 128).astype(jnp.int8)
         for p in range(4)
     ]
-    return jnp.concatenate(planes, axis=1).astype(jnp.float32).astype(
-        jnp.bfloat16
-    )
+    return jnp.concatenate(planes, axis=1)
 
 
-def _g_matrix(num_hash: int, wpad: int) -> np.ndarray:
-    """[512, 128] 0/1 extraction matrix: col 4*(h*wpad+w)+p sums the lanes
-    of hash-group h, word w, byte-plane p (exactly one lane is nonzero after
-    masking, so the f32 accumulation is exact)."""
-    G = np.zeros((512, 128), dtype=np.float32)
-    grp = (128 // wpad) // num_hash
-    for p in range(4):
-        for h in range(num_hash):
-            for w in range(wpad):
-                for r in range(grp):
-                    lane = (h * grp + r) * wpad + w
-                    G[128 * p + lane, 4 * (h * wpad + w) + p] = 1.0
-    return G
+def _lg(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Lane gather within 128-lane rows (lowers to tpu.dynamic_gather)."""
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
+def _n_planes(wpad: int, n_colors: int) -> int:
+    """Byte planes the kernel must gather: index bits >= n_colors are never
+    set, so single-word rows only need ceil(C/8) of the 4 planes."""
+    if wpad > 1:
+        return 4
+    return min(4, (n_colors + 7) // 8)
+
+
+def _deoffset(planes: int) -> np.int32:
+    """Sum over the gathered byte planes of the +128 de-offset corrections
+    (bytes are stored offset by -128 to fit int8)."""
+    v = sum(128 * (1 << (8 * p)) for p in range(planes))
+    return np.int32(np.uint32(v).astype(np.int64) - ((1 << 32) if v >= (1 << 31) else 0))
 
 
 def _stream_kernel(
-    tb_ref, blk_ref, off_ref, qc_ref, tileA_ref, tileB_ref, g_ref,
-    uniq_ref, counts_ref, hist_ref, misc_ref,
+    tb_ref, blk_ref, off_ref, qc_ref, tileA_ref, tileB_ref,
+    uniq_ref, counts_ref, hist_ref,
     counts_scratch,
-    *, num_hash, wpad, n_colors, cp, n_chunks,
+    *, num_hash, wpad, n_colors, cp, planes, n_chunks,
 ):
-    H = num_hash
-    cols = 32 * wpad
+    H, W = num_hash, wpad
+    HW = H * W
+    CW = 32 * W
     j = pl.program_id(0)
 
     @pl.when(j == 0)
     def _init():
         counts_scratch[:] = jnp.zeros_like(counts_scratch)
         hist_ref[:] = jnp.zeros_like(hist_ref)
-        misc_ref[:] = jnp.full_like(misc_ref, -1)
 
+    # --- block gather: int8 one-hot row-select over 2 byte-plane tiles ----
     base = tb_ref[j] * T
     l2 = (blk_ref[:] - base)[:, None]  # i32 [PC, 1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (PC, T), 1)
-    ohA = ((l2 == iota) & (l2 < T)).astype(jnp.int32).astype(
-        jnp.float32).astype(jnp.bfloat16)
-    ohB = (((l2 - T) == iota) & (l2 >= T)).astype(jnp.int32).astype(
-        jnp.float32).astype(jnp.bfloat16)
-    # tiles are pre-converted bf16 byte planes (byte_plane_blocks): the
-    # gather is one MXU contraction per tile, no in-kernel conversions
+    iota_T = jax.lax.broadcasted_iota(jnp.int32, (PC, T), 1)
+    ohA = (l2 == iota_T).astype(jnp.int8)
+    ohB = ((l2 - T) == iota_T).astype(jnp.int8)
     g = jax.lax.dot_general(
         ohA, tileA_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.int32)
     g = g + jax.lax.dot_general(
         ohB, tileB_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [PC, 512] byte planes
-    lanes512 = jax.lax.broadcasted_iota(jnp.int32, (PC, 512), 1) & 127
-    o2 = off_ref[:][:, None]  # u32 [PC, 1], 8 bits per hash (in-block row)
-    sel = None
-    for h in range(H):
-        off_h = ((o2 >> (8 * h)) & jnp.uint32(0xFF)).astype(jnp.int32)
-        lane_lo = off_h * wpad
-        m = (lanes512 >= lane_lo) & (lanes512 < lane_lo + wpad)
-        sel = m if sel is None else (sel | m)
-    masked = jnp.where(sel, g, 0.0).astype(jnp.bfloat16)  # [PC, 512]
-    words2 = jax.lax.dot_general(
-        masked, g_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [PC, 128]; col 4*(h*wpad+w)+p = byte-plane p of hash h's word w
-    wi = words2.astype(jnp.int32)
-    # recombine planes with multiplies (Mosaic miscompiles shifts on these
-    # narrow lane slices; x * 2^s is equivalent and compiles correctly)
-    valid = None
-    andws = [None] * wpad
-    for h in range(H):
-        pres_h = None
-        for w in range(wpad):
-            i = 4 * (h * wpad + w)
-            word = (
-                wi[:, i]
-                + wi[:, i + 1] * 256
-                + wi[:, i + 2] * 65536
-                + wi[:, i + 3] * 16777216
-            )
-            andws[w] = word if h == 0 else (andws[w] & word)
-            nz = word != 0
-            pres_h = nz if pres_h is None else (pres_h | nz)
-        valid = pres_h if h == 0 else (valid & pres_h)
+        preferred_element_type=jnp.int32)
+    # g[p, 128*plane + lane] = byte(plane) of the probe's block word at
+    # lane, minus 128 (all-zero for out-of-window probes, masked via qc==0)
 
-    qc = qc_ref[:].astype(jnp.int32)  # [PC]; 0 marks padding
-    realm = qc > 0
-    vmask = valid & realm
-    vm32 = vmask.astype(jnp.int32)[:, None]  # [PC, 1]
+    # --- per-probe word extraction: lane gathers --------------------------
+    li = jax.lax.broadcasted_iota(jnp.int32, (PC, 128), 1)
+    offw = off_ref[:][:, None].astype(jnp.uint32)  # 8-bit offsets per hash
+    h_of = jnp.minimum(li // W, H - 1)
+    off_j = (offw >> (8 * h_of).astype(jnp.uint32)) & jnp.uint32(0xFF)
+    # lane j < HW: word j%W of hash j//W; lanes beyond HW replicate the
+    # last hash's offsets (clamped h_of), which stay in [0, 128)
+    idx = off_j.astype(jnp.int32) * W + (li % W)
+    words = _deoffset(planes) + _lg(g[:, 0:128], idx)
+    for p in range(1, planes):
+        words = words + _lg(g[:, 128 * p:128 * (p + 1)], idx) * (1 << (8 * p))
+    # words[p, h*W + w] = u32 word w of hash h\'s row (int32 bit pattern)
 
-    # unpack and-bits -> [PC, 32*wpad], accumulate counts in a PC-shaped
-    # scratch (single add per chunk; reduced once at the last step)
-    bit_iota = jax.lax.broadcasted_iota(jnp.int32, (PC, 32), 1)
-    bcols = []
-    for w in range(wpad):
-        bw = (andws[w][:, None] >> bit_iota) & 1
-        bcols.append(bw)
-    B = jnp.concatenate(bcols, axis=1) if wpad > 1 else bcols[0]
-    vbits = B * vm32
+    # --- presence: every hash row nonzero (lane-gather OR/AND trees) ------
+    nz = (words != 0).astype(jnp.int32)
+    step = W // 2
+    while step >= 1:  # lane h*W = OR over the hash\'s W words
+        nz = nz | _lg(nz, jnp.minimum(li + step, 127))
+        step //= 2
+    ph = nz if W == 1 else _lg(nz, jnp.minimum(li * W, 127))
+    step = H // 2
+    while step >= 1:
+        ph = ph & _lg(ph, jnp.minimum(li + step, 127))
+        step //= 2
+    valid = _lg(ph, jnp.zeros_like(li))  # lane-0 broadcast: [PC, 128] 0/1
+
+    # --- AND across hashes: lane w = AND_h words[h*W + w] ------------------
+    x = words
+    step = W * (H // 2)
+    while step >= W:
+        x = x & _lg(x, jnp.minimum(li + step, 127))
+        step //= 2
+
+    qc = qc_ref[:].astype(jnp.int32)  # [PC]; 0 marks padding/out-of-window
+    realm_i = (qc > 0).astype(jnp.int32)
+    vrow = valid[:, 0] * realm_i  # [PC] 0/1
+
+    # --- unpack and-bits -> per-color counts ------------------------------
+    rep = _lg(x, jnp.minimum(li // 32, W - 1))  # lane c = and-word c//32
+    bits = (rep >> (li % 32)) & 1
+    mi = valid * realm_i[:, None] * (li < CW).astype(jnp.int32)
+    vbits = bits * mi
     counts_scratch[:] = counts_scratch[:] + vbits
 
-    nhits = jnp.sum(vbits, axis=1)  # [PC]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (PC, cols), 1)
-    colorsum = jnp.sum(vbits * col_iota, axis=1)  # == color id when nhits==1
-    uniq = vmask & (nhits == 1)
-    uniq_ref[:] = jnp.where(uniq, colorsum, -1)
+    # nhits and colorsum in one int8 MXU contraction (cross-lane VPU
+    # reductions are log-depth shuffle chains; the dot is cheaper)
+    rows128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    cols128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    redm = ((cols128 == 0).astype(jnp.int32)
+            + (cols128 == 1).astype(jnp.int32) * rows128).astype(jnp.int8)
+    red = jax.lax.dot_general(
+        vbits.astype(jnp.int8), redm, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # [:, 0] = nhits, [:, 1] = colorsum
+    nhits = red[:, 0]
+    colorsum = red[:, 1]
+    uniq = (vrow == 1) & (nhits == 1)
+    # -1: valid but not a unique hit; -2: invalid/padded (lets the caller
+    # count n_valid without a second kernel output)
+    uniq_ref[:] = jnp.where(uniq, colorsum, jnp.where(vrow == 1, -1, -2))
 
-    # uniq-hit frequency histogram: one-hot MXU contraction, accumulated in
-    # the output buffer (constant index map -> single VMEM accumulator)
-    qclip = jnp.clip(qc, 0, FREQ_CAP - 1)
-    small = uniq & (qc < FREQ_CAP)
+    # --- uniq-hit frequency histogram: int8 one-hot MXU contraction -------
+    qclip = jnp.clip(qc, 0, HIST_W - 1)
+    small = uniq & (qc < HIST_W)
     hist_col = jnp.where(small, colorsum, n_colors)[:, None]
     oc = (hist_col == jax.lax.broadcasted_iota(jnp.int32, (PC, cp), 1)
-          ).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+          ).astype(jnp.int8)
     ov = (qclip[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (PC, FREQ_CAP), 1)
-    ).astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        jnp.int32, (PC, HIST_W), 1)).astype(jnp.int8)
     delta = jax.lax.dot_general(
-        oc, ov, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [cp, FREQ_CAP]
-    hist_ref[:] = hist_ref[:] + delta.astype(jnp.int32)
-
-    # global AND / all-valid accumulators (rows: wpad and-words, then ok)
-    for w in range(wpad):
-        misc_ref[w, :] = misc_ref[w, :] & jnp.where(vmask, andws[w], -1)
-    misc_ref[wpad, :] = misc_ref[wpad, :] & (valid | ~realm).astype(jnp.int32)
+        oc, ov, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [cp, HIST_W]
+    hist_ref[:] = hist_ref[:] + delta
 
     @pl.when(j == n_chunks - 1)
     def _final():
         counts_ref[0, :] = jnp.sum(counts_scratch[:], axis=0)
 
 
-def _misc_rows(wpad: int) -> int:
-    return ((wpad + 1 + 7) // 8) * 8
-
-
 @partial(
     jax.jit,
     static_argnames=("num_hash", "wpad", "n_colors", "cp"),
 )
-def _stream_call(blocks_bp, gmat, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
+def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
                  n_colors, cp):
     P = blk_s.shape[0]
     n_chunks = P // PC
-    mr = _misc_rows(wpad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
@@ -215,16 +222,14 @@ def _stream_call(blocks_bp, gmat, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
             pl.BlockSpec((T, 512), lambda j, tb: (tb[j], 0)),
             pl.BlockSpec((T, 512), lambda j, tb: (tb[j] + 1, 0)),
-            pl.BlockSpec((512, 128), lambda j, tb: (0, 0)),
         ],
         out_specs=(
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
-            pl.BlockSpec((8, 32 * wpad), lambda j, tb: (0, 0)),
-            pl.BlockSpec((cp, FREQ_CAP), lambda j, tb: (0, 0)),
-            pl.BlockSpec((mr, PC), lambda j, tb: (0, 0)),
+            pl.BlockSpec((8, 128), lambda j, tb: (0, 0)),
+            pl.BlockSpec((cp, HIST_W), lambda j, tb: (0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((PC, 32 * wpad), jnp.int32),
+            pltpu.VMEM((PC, 128), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -234,17 +239,18 @@ def _stream_call(blocks_bp, gmat, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             wpad=wpad,
             n_colors=n_colors,
             cp=cp,
+            planes=_n_planes(wpad, n_colors),
             n_chunks=n_chunks,
         ),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((P,), jnp.int32),  # uniq color (-1: none)
-            jax.ShapeDtypeStruct((8, 32 * wpad), jnp.int32),  # counts row 0
-            jax.ShapeDtypeStruct((cp, FREQ_CAP), jnp.int32),  # histogram
-            jax.ShapeDtypeStruct((mr, PC), jnp.int32),  # and/ok accumulators
+            # per-probe uniq color; -1 = valid non-unique, -2 = invalid
+            jax.ShapeDtypeStruct((P,), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),  # counts in row 0
+            jax.ShapeDtypeStruct((cp, HIST_W), jnp.int32),  # histogram
         ),
         interpret=_interpret(),
-    )(tb, blk_s, off_s, qc_s, blocks_bp, blocks_bp, gmat)
+    )(tb, blk_s, off_s, qc_s, blocks_bp, blocks_bp)
 
 
 @partial(
@@ -259,8 +265,7 @@ def stream_accumulate_hash(
     over_col: jnp.ndarray,
     over_freq: jnp.ndarray,
     blocks2: jnp.ndarray,
-    blocks_bp: jnp.ndarray,  # bf16 [Rb, 512] from byte_plane_blocks
-    gmat: jnp.ndarray,  # bf16 [512, 128] from _g_matrix
+    blocks_bp: jnp.ndarray,  # int8 [Rb, 512] from byte_plane_blocks
     packed: jnp.ndarray,  # uint32 [P, 2]; P % PC == 0
     qcounts: jnp.ndarray,  # uint16 [P] clipped frequencies; 0 marks padding
     base0: jnp.ndarray,  # int32 [] global index of packed[0]
@@ -274,10 +279,9 @@ def stream_accumulate_hash(
 ):
     """Drop-in replacement for query_accumulate_hash_scan on blocked-v2
     indexes: same donated stats/hist/overflow contract, one device call per
-    segment. stats gains nothing new except that slot C+wpad+1 (n_over) is
-    followed by the same layout; an extra guard counter is returned
-    separately (n_dropped) — nonzero means the segment must be re-run on the
-    generic path (overflow/residual capacity exceeded; effectively never)."""
+    segment. An extra guard counter is returned separately (n_dropped) —
+    nonzero means the segment must be re-run on the generic path
+    (overflow/residual capacity exceeded; effectively never)."""
     from .hash_jax import _limbs_from_packed
 
     P = packed.shape[0]
@@ -303,27 +307,31 @@ def stream_accumulate_hash(
         blk_s.reshape(n_chunks, PC) - tb[:, None] * T < 2 * T
     ).reshape(-1)
 
-    uniq, counts_out, hist_out, misc = _stream_call(
-        blocks_bp, gmat, blk_s, off_s,
-        jnp.where(inwin, qc_s, 0),
+    qcw = jnp.where(inwin, qc_s, 0)
+    uniq, counts_out, hist_out = _stream_call(
+        blocks_bp, blk_s, off_s, qcw,
         tb, num_hash=num_hash, wpad=wpad, n_colors=C, cp=cp,
     )
 
     # merge the kernel accumulators into the running stats
     counts_new = stats[:C] + counts_out[0, :C]
-    and_rows = misc[:wpad]  # [wpad, P] i32; -1 where not counted
-    and_b = jax.lax.reduce(
-        and_rows.astype(jnp.uint32), jnp.uint32(0xFFFFFFFF),
-        jax.lax.bitwise_and, dimensions=(1,),
-    )
-    ok_b = jnp.min(misc[wpad]) & 1
-    hist = hist + hist_out[:C]
+    # global AND and all-valid, derived from counts: bit c of the AND over
+    # valid k-mers is 1 iff every one of the n_valid k-mers hit color c,
+    # i.e. counts[c] == n_valid (all-ones when n_valid == 0, matching the
+    # reduce identity); ok iff every real k-mer was valid
+    n_valid = jnp.sum((uniq > -2).astype(jnp.int32))
+    n_real = jnp.sum((qcw > 0).astype(jnp.int32))
+    eq = (counts_out[0, : 32 * wpad] == n_valid).astype(jnp.uint32)
+    pow2 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    and_b = jnp.sum(eq.reshape(wpad, 32) * pow2, axis=1, dtype=jnp.uint32)
+    ok_b = (n_valid == n_real).astype(jnp.int32)
+    hist = hist.at[:, :HIST_W].add(hist_out[:C])
 
-    # uniq-hit frequency overflow entries (freq >= FREQ_CAP): compacted and
+    # uniq-hit frequency overflow entries (freq >= HIST_W): compacted and
     # appended at the running n_over offset; the host resolves exact
     # frequencies from the recorded global k-mer index.
     n_over_before = stats[C + wpad + 1]
-    big = (uniq >= 0) & (qc_s >= FREQ_CAP)
+    big = (uniq >= 0) & (qc_s >= HIST_W)
     n_big = jnp.sum(big.astype(jnp.int32))
     capO = over_col.shape[0]
 

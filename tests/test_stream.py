@@ -31,7 +31,7 @@ def _compare(index, keys, qcounts, monkeypatch):
     base = QueryEngine(index).search_keys(keys, qcounts=qcounts)
     monkeypatch.setenv("COLORID_STREAM", "force")
     eng = QueryEngine(index)
-    assert eng._gmat is not None, "stream kernel not eligible"
+    assert eng._stream, "stream kernel not eligible"
     got = eng.search_keys(keys, qcounts=qcounts)
     np.testing.assert_array_equal(got.counts, base.counts)
     np.testing.assert_array_equal(got.and_all, base.and_all)
@@ -74,9 +74,11 @@ def test_stream_sparse_residual(monkeypatch):
 def test_stream_auto_gate(monkeypatch):
     rng = np.random.default_rng(17)
     index = _rand_index(rng, 10, 50_000)
-    # opt-in: without the env var the stream path never engages
+    # default ON for eligible blocked-v2 indexes; =0 disables
     monkeypatch.delenv("COLORID_STREAM", raising=False)
-    assert QueryEngine(index)._gmat is None
+    assert QueryEngine(index)._stream
+    monkeypatch.setenv("COLORID_STREAM", "0")
+    assert not QueryEngine(index)._stream
     monkeypatch.setenv("COLORID_STREAM", "1")
     eng = QueryEngine(index)
     n_blocks = index.bloom_size // eng.rpb
@@ -87,4 +89,4 @@ def test_stream_auto_gate(monkeypatch):
         index.bloom_size, 4, 31, 0, index.colors, index.n_ref_kmers,
         index.matrix, blocked=1,
     )
-    assert QueryEngine(idx1)._gmat is None
+    assert not QueryEngine(idx1)._stream

@@ -28,14 +28,41 @@ N = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 4_194_304
 N = ((N + (1 << 20) - 1) >> 20) << 20  # multiple of 1M (chunk-friendly)
 
 
-def bench(name, fn, *args, reps=5):
-    fn(*args)  # compile+warm
-    jax.block_until_ready(fn(*args))
+_RTT = [0.0]
+
+
+def _sync(out):
+    """Force completion: block_until_ready does NOT synchronize through the
+    axon tunnel; a tiny D2H read does."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+
+
+def measure_rtt(x):
+    """Tunnel D2H round-trip on an already-materialized array (subtracted
+    from timings)."""
+    _sync(x)
+    best = float("inf")
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _sync(x)
+        best = min(best, time.perf_counter() - t0)
+    _RTT[0] = best
+    print(f"tunnel D2H RTT: {best*1e3:.1f} ms (subtracted per rep)")
+
+
+def bench(name, fn, *args, reps=4, inner=6):
+    out = fn(*args)  # compile+warm
+    _sync(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(inner):
+            out = fn(*args)
+        _sync(out)
+        dt = (time.perf_counter() - t0 - _RTT[0]) / inner
+        best = min(best, dt)
+    best = max(best, 1e-9)
     rate = N / best / 1e6
     print(f"{name:<46} {best*1e3:8.2f} ms   {rate:9.1f} M/s")
     return best
@@ -58,6 +85,7 @@ def main():
     packed = jax.device_put(rng.integers(0, 2**32, (N, 2), dtype=np.uint32))
     qc = jax.device_put(np.ones(N, dtype=np.int32))
     jax.block_until_ready((blocks2, packed, qc))
+    measure_rtt(qc)
 
     # --- stage timings -------------------------------------------------
     @jax.jit
@@ -142,18 +170,18 @@ def main():
     # stream kernel (blocked-v2)
     try:
         from colorid_tpu.ops.stream_query import (
-            _g_matrix, byte_plane_blocks, stream_accumulate_hash,
+            byte_plane_blocks, stream_accumulate_hash,
         )
 
-        gmat = jnp.asarray(_g_matrix(HASHES, wpad), dtype=jnp.bfloat16)
-        bp = jax.block_until_ready(byte_plane_blocks(blocks2))
+        bp = byte_plane_blocks(blocks2)
+        np.asarray(bp[:1, :1])  # materialize
 
         qc16 = jax.device_put(np.ones(N, dtype=np.uint16))
 
         def run_stream():
             s = mk_state()
             return stream_accumulate_hash(
-                *s, blocks2, bp, gmat, packed, qc16, jnp.int32(0),
+                *s, blocks2, bp, packed, qc16, jnp.int32(0),
                 wpad=wpad, k=K, num_hash=HASHES, bloom_size=BLOOM,
                 rpb=rpb, n_colors=C,
             )
