@@ -29,6 +29,15 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "jaxcache"),
 )
 
+if os.environ.get("JAX_PLATFORMS"):
+    # The axon sitecustomize re-registers the remote-TPU backend in every
+    # interpreter, so the env var alone cannot switch platforms; honor an
+    # explicit request (the CI smoke test runs the whole bench on cpu)
+    # through jax.config before any backend initialization.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 CACHE = os.environ.get(
@@ -39,6 +48,10 @@ REFS1 = "/root/reference/test_data/refs"
 REFS2 = "/root/reference/refs"
 K, HASHES = 31, 4
 BLOOM = int(os.environ.get("BENCH_BLOOM", 50_000_000))
+# smoke-test knobs: cap the genome panel / read_id read count so the whole
+# bench (cold cache, both primaries) runs in CI time on the CPU backend
+MAX_GENOMES = int(os.environ.get("BENCH_MAX_GENOMES", 0))
+RID_READS = int(os.environ.get("BENCH_RID_READS", 20_000))
 BASELINE_KMERS_PER_S = 4e6
 
 
@@ -46,8 +59,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _ref_map():
-    ref_map = {}
+def _genome_paths():
+    paths = []
     for d in (REFS1, REFS2):
         if not os.path.isdir(d):
             continue
@@ -55,8 +68,14 @@ def _ref_map():
             if f.endswith(".fasta"):
                 p = os.path.join(d, f)
                 if os.path.getsize(p) > 1000:  # skip missing-blob stubs
-                    ref_map[f[:-6]] = [p]
-    return ref_map
+                    paths.append(p)
+    if MAX_GENOMES > 0:
+        paths = paths[:MAX_GENOMES]
+    return paths
+
+
+def _ref_map():
+    return {os.path.basename(p)[:-6]: [p] for p in _genome_paths()}
 
 
 def build_or_load_index(blocked=False):
@@ -101,14 +120,7 @@ def make_query_kmers(index):
         z = np.load(cache)
         return z["keys"], z["qcounts"], z["packed"], z["reads_packed"]
     rng = np.random.default_rng(42)
-    genomes = []
-    for d in (REFS1, REFS2):
-        if not os.path.isdir(d):
-            continue
-        for f in sorted(os.listdir(d)):
-            p = os.path.join(d, f)
-            if f.endswith(".fasta") and os.path.getsize(p) > 1000:
-                genomes.append("".join(read_fasta(p)))
+    genomes = ["".join(read_fasta(p)) for p in _genome_paths()]
     log(f"synthesizing reads from {len(genomes)} genomes")
     from colorid_tpu.core.dna import COMP, UPPER
 
@@ -188,17 +200,10 @@ def _read_id_stat(engine):
         fq2 = os.path.join(CACHE, "rid_r2.fq.gz")
         if not os.path.exists(fq1):
             rng = np.random.default_rng(7)
-            gs = []
-            for d in (REFS1, REFS2):
-                if not os.path.isdir(d):
-                    continue
-                for f in sorted(os.listdir(d)):
-                    p = os.path.join(d, f)
-                    if f.endswith(".fasta") and os.path.getsize(p) > 1000:
-                        gs.append("".join(read_fasta(p)).upper())
+            gs = ["".join(read_fasta(p)).upper() for p in _genome_paths()]
             comp = bytes.maketrans(b"ACGT", b"TGCA")
             with gzip.open(fq1, "wt") as f1, gzip.open(fq2, "wt") as f2:
-                for i in range(20000):
+                for i in range(RID_READS):
                     g = gs[int(rng.integers(0, len(gs)))]
                     s = int(rng.integers(0, len(g) - 500))
                     r1 = g[s : s + 150]
@@ -210,7 +215,10 @@ def _read_id_stat(engine):
         t0 = _t.time()
         read_id([fq1, fq2], engine, prefix=out)
         dt = _t.time() - t0
-        log(f"read_id secondary: 20k PE reads in {dt:.1f}s -> {20000 / dt:.0f} read pairs/s")
+        log(
+            f"read_id secondary: {RID_READS} PE reads in {dt:.1f}s -> "
+            f"{RID_READS / dt:.0f} read pairs/s"
+        )
     except Exception as e:
         log(f"read_id secondary skipped: {e}")
 

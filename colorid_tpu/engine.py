@@ -26,6 +26,7 @@ from .ops.query import (
     query_accumulate_hash_scan,
     query_accumulate_scan,
     query_readid_batch,
+    query_readid_firsthit,
     query_readid_hash_batch,
 )
 
@@ -474,6 +475,56 @@ class QueryEngine:
             n_reads,
             start_sample,
         )
+
+    def readid_firsthit(
+        self,
+        keys_per_read: list[np.ndarray],
+        start_sample: int,
+    ) -> np.ndarray:
+        """First-hit position matrix [B, C+1] (column C = first-absent
+        position; 2**30 = never) for keys given in set-iteration order —
+        recovers the reference's final_report insertion order for the
+        read_id tie-order fixup. Callers pass only the (rare) tied reads."""
+        C = self.index.n_colors
+        n_reads = len(keys_per_read)
+        out = np.full((n_reads, C + 1), 2**30, dtype=np.int32)
+        if n_reads == 0:
+            return out
+        seg_ids, kmer_pos, rows_parts = [], [], []
+        for i, keys in enumerate(keys_per_read):
+            kn = keys.shape[0]
+            if kn == 0:
+                continue
+            seg_ids.append(np.full(kn, i, dtype=np.int32))
+            kmer_pos.append(np.arange(kn, dtype=np.int32))
+            rows_parts.append(self.rows_for_keys(keys))
+        if not rows_parts:
+            return out
+        rows = np.concatenate(rows_parts, axis=0).astype(np.int32, copy=False)
+        seg = np.concatenate(seg_ids)
+        pos = np.concatenate(kmer_pos)
+        n = rows.shape[0]
+        size = max(1 << (n - 1).bit_length(), 1024)
+        rows_p = np.zeros((size, self.index.num_hash), dtype=np.int32)
+        rows_p[:n] = rows
+        seg_p = np.zeros(size, dtype=np.int32)
+        seg_p[:n] = seg
+        pos_p = np.full(size, PAD_POS, dtype=np.int32)
+        pos_p[:n] = pos
+        n_pad = max(1 << (n_reads - 1).bit_length(), 16)
+        rep = query_readid_firsthit(
+            self.blocks2,
+            jnp.asarray(rows_p),
+            jnp.asarray(seg_p),
+            jnp.asarray(pos_p),
+            num_reads=n_pad,
+            start_sample=start_sample,
+            num_colors=C,
+            wpad=self.wpad,
+            rpb=self.rpb,
+        )
+        out[:] = np.asarray(rep)[:n_reads]
+        return out
 
     def readid_counts_packed(
         self,

@@ -104,7 +104,7 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
         ]
         lib.ct_read_sets.restype = ctypes.c_int64
         lib.ct_read_sets.argtypes = [
@@ -112,7 +112,16 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_uint64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.ct_fnv_ranks.restype = None
+        lib.ct_fnv_ranks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.ct_fnv_ranks_bytes.restype = None
+        lib.ct_fnv_ranks_bytes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
         ]
         lib.rs_open.restype = ctypes.c_void_p
         lib.rs_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32]
@@ -266,9 +275,12 @@ def read_sets(
     m_size: int,
     num_hash: int,
     bloom_size: int,
+    fnv_order: bool = True,
 ):
-    """Per-read first-occurrence k-mer sets -> (rows [N,H], seg [N], pos [N],
-    maplen [B]) or None when the native path can't handle the batch."""
+    """Per-read k-mer sets -> (rows [N,H], seg [N], pos [N], maplen [B]) or
+    None when the native path can't handle the batch. With fnv_order (the
+    default) ``pos`` carries the reference's FnvHashSet iteration rank; with
+    fnv_order=False, first-occurrence rank."""
     lib = _load()
     if lib is None or k > 32 or (m_size and m_size > 32):
         return None
@@ -287,7 +299,7 @@ def read_sets(
         read_seq_counts.ctypes.data, n_reads, k, d, m_size,
         num_hash, bloom_size,
         rows.ctypes.data, seg.ctypes.data, pos.ctypes.data,
-        maplen.ctypes.data, cap,
+        maplen.ctypes.data, cap, 1 if fnv_order else 0,
     )
     if total == -2:
         return None  # lowercase in batch: numpy path
@@ -303,10 +315,13 @@ def read_sets_packed(
     k: int,
     d: int,
     m_size: int,
+    fnv_order: bool = True,
 ):
-    """Per-read first-occurrence k-mer sets as raw 2-bit packed keys ->
+    """Per-read k-mer sets as raw 2-bit packed keys ->
     (packed [N, 2] uint32, seg [N] int16, pos [N] int16, maplen [B]) or None
-    (lowercase / unsupported params -> caller uses the exact path)."""
+    (lowercase / unsupported params -> caller uses the exact path).
+    ``pos`` is the FnvHashSet iteration rank when fnv_order (default), else
+    first-occurrence rank."""
     lib = _load()
     if lib is None or k > 32 or (m_size and m_size > 32):
         return None
@@ -326,7 +341,7 @@ def read_sets_packed(
         seqs_concat.ctypes.data, seq_offs.ctypes.data,
         read_seq_counts.ctypes.data, n_reads, k, d, m_size,
         packed.ctypes.data, seg.ctypes.data, pos.ctypes.data,
-        maplen.ctypes.data, cap,
+        maplen.ctypes.data, cap, 1 if fnv_order else 0,
     )
     if total == -2:
         return None
@@ -336,6 +351,40 @@ def read_sets_packed(
     pairs[:, 0] = (packed[:total] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     pairs[:, 1] = (packed[:total] >> np.uint64(32)).astype(np.uint32)
     return pairs, seg[:total], pos[:total], maplen
+
+
+def fnv_ranks_packed(
+    keys_u64: np.ndarray, bounds: np.ndarray, width: int
+) -> np.ndarray | None:
+    """FnvHashSet iteration ranks for 2-bit packed canonical k-mers.
+
+    keys_u64 [N] are per-set unique keys in first-occurrence order with set
+    boundaries at bounds [R+1]; returns int32 ranks [N] (iteration position
+    within the owning set). None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys_u64 = np.ascontiguousarray(keys_u64, dtype=np.uint64)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    ranks = np.empty(len(keys_u64), dtype=np.int32)
+    lib.ct_fnv_ranks(
+        keys_u64.ctypes.data, bounds.ctypes.data, len(bounds) - 1, width,
+        ranks.ctypes.data,
+    )
+    return ranks
+
+
+def fnv_ranks_bytes(keys: np.ndarray) -> np.ndarray | None:
+    """FnvHashSet iteration ranks for one set of ASCII key rows [N, w] in
+    first-occurrence order. None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint8)
+    n, w = keys.shape
+    ranks = np.empty(n, dtype=np.int32)
+    lib.ct_fnv_ranks_bytes(keys.ctypes.data, n, w, ranks.ctypes.data)
+    return ranks
 
 
 class FastqReadStream:

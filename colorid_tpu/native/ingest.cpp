@@ -405,6 +405,152 @@ extern "C" void* ct_count_fastq(const char* path1, const char* path2,
 }
 
 // ---------------------------------------------------------------------------
+// FNV-1a + hashbrown (SwissTable) iteration-order emulation.
+//
+// The reference's per-read k-mer sets are fnv::FnvHashSet<String>; their
+// iteration order determines the break-on-absent cut point
+// (read_id_mt_pe.rs:88-89) and the -B candidate phase (:104-165), so it is
+// part of the bit-exact read_id contract. FNV has no RandomState — the
+// order is deterministic. Semantics transcribed (and documented) in
+// colorid_tpu/core/fnv.py; this is the production twin, cross-validated
+// against the Python implementation in tests/test_fnv_order.py.
+// ---------------------------------------------------------------------------
+
+static const uint64_t FNV_OFFSET = 0xcbf29ce484222325ULL;
+static const uint64_t FNV_PRIME = 0x100000001b3ULL;
+
+// Hash of the decoded k-mer string as Rust hashes a String: the ASCII
+// bytes (first base in the high 2 bits of `key`) then a 0xff terminator.
+static inline uint64_t fnv1a64_packed(uint64_t key, int width) {
+    uint64_t h = FNV_OFFSET;
+    for (int b = width - 1; b >= 0; b--) {
+        uint8_t c = DECODE[(key >> (2 * b)) & 3];
+        h = (h ^ c) * FNV_PRIME;
+    }
+    return (h ^ 0xff) * FNV_PRIME;
+}
+
+static inline uint64_t fnv1a64_bytes_str(const uint8_t* p, int64_t n) {
+    uint64_t h = FNV_OFFSET;
+    for (int64_t i = 0; i < n; i++) h = (h ^ p[i]) * FNV_PRIME;
+    return (h ^ 0xff) * FNV_PRIME;
+}
+
+struct Hashbrown {
+    // Only what iteration order needs: control bytes (mirrored tail for
+    // wrapped group loads), per-bucket insertion index + hash.
+    std::vector<uint8_t> ctrl;
+    std::vector<int32_t> ins;
+    std::vector<uint64_t> hsh;
+    size_t buckets = 0, items = 0, growth_left = 0;
+    static const int GROUP = 16;
+
+    void reset() { buckets = items = growth_left = 0; }
+
+    static size_t cap_to_buckets(size_t cap) {
+        if (cap < 4) return 4;
+        if (cap < 8) return 8;
+        size_t adj = cap * 8 / 7, b = 1;
+        while (b < adj) b <<= 1;
+        return b;
+    }
+    static size_t mask_to_cap(size_t mask) {
+        return mask < 8 ? mask : (mask + 1) / 8 * 7;
+    }
+
+    size_t find_slot(uint64_t h) const {
+        size_t mask = buckets - 1;
+        size_t pos = (size_t)h & mask, stride = 0;
+        for (;;) {
+            for (int b = 0; b < GROUP; b++) {
+                if (ctrl[pos + b] & 0x80) {  // EMPTY or DELETED
+                    size_t result = (pos + (size_t)b) & mask;
+                    if (!(ctrl[result] & 0x80)) {
+                        // wrapped onto a FULL slot (buckets < GROUP): take
+                        // the lowest empty of the aligned group at 0
+                        for (int a = 0; a < GROUP; a++)
+                            if (ctrl[a] & 0x80) return (size_t)a;
+                    }
+                    return result;
+                }
+            }
+            stride += GROUP;
+            pos = (pos + stride) & mask;
+        }
+    }
+
+    void place(size_t bucket, uint64_t h, int32_t i) {
+        uint8_t h2 = (uint8_t)((h >> 57) & 0x7f);
+        long long m = ((long long)bucket - GROUP) % (long long)buckets;
+        if (m < 0) m += (long long)buckets;
+        ctrl[bucket] = h2;
+        ctrl[(size_t)m + GROUP] = h2;
+        ins[bucket] = i;
+        hsh[bucket] = h;
+    }
+
+    void resize(size_t nb) {
+        std::vector<uint8_t> octrl;
+        std::vector<int32_t> oins;
+        std::vector<uint64_t> ohsh;
+        octrl.swap(ctrl);
+        oins.swap(ins);
+        ohsh.swap(hsh);
+        size_t ob = buckets;
+        buckets = nb;
+        ctrl.assign(nb + GROUP, 0xff);
+        ins.assign(nb, -1);
+        hsh.assign(nb, 0);
+        for (size_t i = 0; i < ob; i++) {  // RawIter: ascending buckets
+            if (!(octrl[i] & 0x80)) place(find_slot(ohsh[i]), ohsh[i], oins[i]);
+        }
+        growth_left = mask_to_cap(nb - 1) - items;
+    }
+
+    void insert(uint64_t h, int32_t i) {
+        if (growth_left == 0) resize(cap_to_buckets(items + 1));
+        place(find_slot(h), h, i);
+        items++;
+        growth_left--;
+    }
+
+    // rank_of_insertion[i] = iteration position of insertion i (n items)
+    void ranks(int32_t* out) const {
+        int32_t r = 0;
+        for (size_t b = 0; b < buckets; b++)
+            if (!(ctrl[b] & 0x80)) out[ins[b]] = r++;
+    }
+};
+
+extern "C" void ct_fnv_ranks(const uint64_t* keys, const int64_t* bounds,
+                             int64_t n_reads, int32_t width, int32_t* ranks) {
+    // keys: unique 2-bit packed canonical k-mers, per-read segments at
+    // [bounds[r], bounds[r+1]) in first-occurrence order. Writes each key's
+    // FnvHashSet iteration rank (within its read) to ranks (same layout).
+    Hashbrown t;
+    std::vector<int32_t> scratch;
+    for (int64_t r = 0; r < n_reads; r++) {
+        int64_t lo = bounds[r], hi = bounds[r + 1];
+        t.reset();
+        for (int64_t i = lo; i < hi; i++)
+            t.insert(fnv1a64_packed(keys[i], width), (int32_t)(i - lo));
+        scratch.assign((size_t)(hi - lo), 0);
+        t.ranks(scratch.data());
+        for (int64_t i = lo; i < hi; i++) ranks[i] = scratch[i - lo];
+    }
+}
+
+extern "C" void ct_fnv_ranks_bytes(const uint8_t* keys, int64_t n,
+                                   int32_t width, int32_t* ranks) {
+    // One set of n byte-string keys [n, width] in first-occurrence order ->
+    // iteration ranks. (Python-fallback/test entry point.)
+    Hashbrown t;
+    for (int64_t i = 0; i < n; i++)
+        t.insert(fnv1a64_bytes_str(keys + i * width, width), (int32_t)i);
+    t.ranks(ranks);
+}
+
+// ---------------------------------------------------------------------------
 // per-read first-occurrence k-mer sets for the read classifier
 // ---------------------------------------------------------------------------
 
@@ -413,13 +559,18 @@ extern "C" int64_t ct_read_sets(
     int64_t n_reads, int32_t k, int32_t d, int32_t m_size,
     int32_t num_hash, uint64_t bloom_size,
     uint32_t* rows_out, int32_t* seg_out, int32_t* pos_out,
-    int32_t* maplen_out, int64_t cap) {
+    int32_t* maplen_out, int64_t cap, int32_t fnv_order) {
     // seqs: concatenated mate sequences; seq_offs [total_seqs+1];
     // read_seq_counts[r] = number of mates of read r (sequences are in read
     // order). Returns total emitted k-mers, or -1-needed if cap too small,
     // or -2 on lowercase fallback (caller redoes the batch in numpy).
+    // fnv_order != 0: pos_out carries each k-mer's FnvHashSet iteration rank
+    // (the reference's set order) instead of first-occurrence rank.
     std::vector<uint64_t> set_keys;
     std::vector<int32_t> set_used;
+    std::vector<uint64_t> read_keys;
+    std::vector<int32_t> rank_scratch;
+    Hashbrown hb;
     int64_t total = 0;
     int64_t seq_idx = 0;
     uint8_t ascii[32];
@@ -430,6 +581,8 @@ extern "C" int64_t ct_read_sets(
         set_used.assign(1024, 0);
         uint64_t smask = 1023;
         int32_t pos = 0;
+        int64_t read_start = total;
+        read_keys.clear();
         for (int32_t s = 0; s < read_seq_counts[r]; s++, seq_idx++) {
             const uint8_t* seq = seqs + seq_offs[seq_idx];
             int64_t len = seq_offs[seq_idx + 1] - seq_offs[seq_idx];
@@ -472,10 +625,22 @@ extern "C" int64_t ct_read_sets(
                     seg_out[total] = (int32_t)r;
                     pos_out[total] = pos;
                 }
+                if (fnv_order) read_keys.push_back(key);
                 total++;
                 pos++;
             });
             if (!ok) return -2;
+        }
+        if (fnv_order && !read_keys.empty()) {
+            hb.reset();
+            for (size_t i = 0; i < read_keys.size(); i++)
+                hb.insert(fnv1a64_packed(read_keys[i], width), (int32_t)i);
+            rank_scratch.assign(read_keys.size(), 0);
+            hb.ranks(rank_scratch.data());
+            int64_t stop = read_start + (int64_t)read_keys.size();
+            if (stop > cap) stop = cap;
+            for (int64_t i = read_start; i < stop; i++)
+                pos_out[i] = rank_scratch[i - read_start];
         }
         maplen_out[r] = pos;
     }
@@ -501,12 +666,17 @@ extern "C" int64_t ct_read_sets_packed(
     const uint8_t* seqs, const int64_t* seq_offs, const int32_t* read_seq_counts,
     int64_t n_reads, int32_t k, int32_t d, int32_t m_size,
     uint64_t* packed_out, int16_t* seg_out, int16_t* pos_out,
-    int32_t* maplen_out, int64_t cap) {
+    int32_t* maplen_out, int64_t cap, int32_t fnv_order) {
     // Like ct_read_sets but emits the raw 2-bit packed canonical k-mers
     // (device hashes them) with int16 seg/pos — 12B/kmer of host traffic
     // instead of 24B. Requires n_reads and per-read set sizes < 32768.
+    // fnv_order != 0: pos_out carries FnvHashSet iteration ranks.
     std::vector<uint64_t> set_keys;
     std::vector<int32_t> set_used;
+    std::vector<uint64_t> read_keys;
+    std::vector<int32_t> rank_scratch;
+    Hashbrown hb;
+    int width = m_size > 0 ? m_size : k;
     int64_t total = 0;
     int64_t seq_idx = 0;
     for (int64_t r = 0; r < n_reads; r++) {
@@ -514,6 +684,8 @@ extern "C" int64_t ct_read_sets_packed(
         set_used.assign(1024, 0);
         uint64_t smask = 1023;
         int32_t pos = 0;
+        int64_t read_start = total;
+        read_keys.clear();
         for (int32_t s = 0; s < read_seq_counts[r]; s++, seq_idx++) {
             const uint8_t* seq = seqs + seq_offs[seq_idx];
             int64_t len = seq_offs[seq_idx + 1] - seq_offs[seq_idx];
@@ -550,10 +722,22 @@ extern "C" int64_t ct_read_sets_packed(
                     seg_out[total] = (int16_t)r;
                     pos_out[total] = (int16_t)pos;
                 }
+                if (fnv_order) read_keys.push_back(key);
                 total++;
                 pos++;
             });
             if (!ok) return -2;
+        }
+        if (fnv_order && !read_keys.empty()) {
+            hb.reset();
+            for (size_t i = 0; i < read_keys.size(); i++)
+                hb.insert(fnv1a64_packed(read_keys[i], width), (int32_t)i);
+            rank_scratch.assign(read_keys.size(), 0);
+            hb.ranks(rank_scratch.data());
+            int64_t stop = read_start + (int64_t)read_keys.size();
+            if (stop > cap) stop = cap;
+            for (int64_t i = read_start; i < stop; i++)
+                pos_out[i] = (int16_t)rank_scratch[i - read_start];
         }
         maplen_out[r] = pos;
     }

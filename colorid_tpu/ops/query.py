@@ -569,6 +569,52 @@ def _readid_core(
     return jnp.concatenate([report, no_hits], axis=1)
 
 
+@partial(jax.jit, static_argnames=("num_reads", "start_sample", "num_colors", "wpad", "rpb"))
+def query_readid_firsthit(
+    blocks2: jnp.ndarray,
+    rows: jnp.ndarray,
+    seg_ids: jnp.ndarray,
+    kmer_pos: jnp.ndarray,
+    *,
+    num_reads: int,
+    start_sample: int,
+    num_colors: int,
+    wpad: int,
+    rpb: int = 0,
+):
+    """First-hit k-mer position per (read, color) — the insertion order of
+    the reference's ``final_report`` FnvHashMap (read_id_mt_pe.rs:127-139:
+    colors enter the map at their first phase-1/classic hit, ascending color
+    within one k-mer; ``no_hits`` enters at the break). Column C carries the
+    first-absent position. 2**30 where never hit. Used by the read_id tie
+    fixup to reconstruct kmer_poll_plus's stable-sort order for tied top
+    hits (read_id_mt_pe.rs:195-196)."""
+    andw, present_all = _and_present(blocks2, rows, wpad, rpb)
+    valid = present_all
+    bits = _unpack_bits(andw)[:, :num_colors]
+    BIG = jnp.int32(2**30)
+    absent_pos = jnp.where(valid, BIG, kmer_pos)
+    first_absent = (
+        jnp.full((num_reads,), BIG, dtype=jnp.int32).at[seg_ids].min(absent_pos)
+    )
+    fa = first_absent[seg_ids]
+    counted = valid & (kmer_pos < fa)
+    if start_sample > 0:
+        # only phase-1 hits insert report keys (phase 2 increments existing)
+        ph1 = counted & (kmer_pos < start_sample)
+    else:
+        ph1 = counted
+    pos_hit = jnp.where(
+        (bits > 0) & ph1[:, None], kmer_pos[:, None], BIG
+    )
+    fh = (
+        jnp.full((num_reads, num_colors), BIG, dtype=jnp.int32)
+        .at[seg_ids]
+        .min(pos_hit)
+    )
+    return jnp.concatenate([fh, first_absent[:, None]], axis=1)
+
+
 @partial(
     jax.jit,
     static_argnames=(

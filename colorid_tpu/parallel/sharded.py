@@ -30,7 +30,23 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.query import _gather_rows, _unpack_bits, pack_matrix_blocks, row_wpad
+from ..ops.query import (
+    _gather_rows,
+    _gather_rows_blocked,
+    _unpack_bits,
+    pack_matrix_blocks,
+    row_wpad,
+)
+
+
+def _gather(mat, rows, wpad, rpb):
+    """Local-shard gather: single-block fetch for blocked layouts (a k-mer's
+    H rows share one rpb-row block — nesting holds for any shard-local rpb
+    that is a power-of-two multiple of the build-time rows-per-block), else
+    the generic per-row block gather."""
+    if rpb:
+        return _gather_rows_blocked(mat, rows, wpad, rpb)
+    return _gather_rows(mat, rows, wpad)
 
 
 def make_mesh(n_data: int, n_model: int, model_axis: str) -> Mesh:

@@ -4,16 +4,21 @@ Semantics replicated:
 - a read whose first mate is shorter than k is "too_short"/accept
   (read_id_mt_pe.rs:305-313); other mates are still k-merized when long
   enough (shorter ones are skipped — the reference would panic).
-- per-read canonical k-mer SET (first-occurrence order stands in for the
-  reference's FnvHashSet iteration order — the one deliberate deviation,
-  since hash-set order is an implementation artifact).
+- per-read canonical k-mer SET iterated in the reference's FnvHashSet order
+  (emulated — core/fnv.py documents the transcription; the C++ twin in
+  native/ingest.cpp computes ranks inline during set building). Set order
+  matters because of the break and the -B sample phase below.
+  COLORID_FNV_ORDER=0 falls back to first-occurrence order.
 - a k-mer with an absent Bloom row adds one `no_hits` pseudo-count and stops
   counting for the read's remaining k-mers (the `break` at
   read_id_mt_pe.rs:88-89/127-128/150-151).
 - bitvector_sample B > 0: k-mers after the first B only count toward colors
   hit within the first B (search_index, read_id_mt_pe.rs:104-165).
 - FP-aware majority poll (kmer_poll_plus, read_id_mt_pe.rs:187-251) with the
-  binomial significance filter (not_fp_signicant, :168-181).
+  binomial significance filter (not_fp_signicant, :168-181); tied top hits
+  are joined in the reference's order (stable sort over FnvHashMap
+  iteration order — reconstructed per tied read from the device's
+  first-hit matrix, engine.readid_firsthit).
 
 The per-read counting runs on device as one flattened segment-reduce batch
 (ops/query.py::query_readid_batch); this layer only formats decisions.
@@ -21,6 +26,7 @@ The per-read counting runs on device as one flattened segment-reduce batch
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import Iterator
@@ -39,6 +45,27 @@ from ..engine import QueryEngine
 from .reports import read_counts_five_fields
 
 Classification = tuple[str, str, int, int, str, int]
+
+
+def fnv_order_enabled() -> bool:
+    """Reference-parity FnvHashSet/FnvHashMap order emulation (default on;
+    COLORID_FNV_ORDER=0 reverts to deterministic first-occurrence order)."""
+    return os.environ.get("COLORID_FNV_ORDER", "1") != "0"
+
+
+def _fnv_order_keys(keys: np.ndarray) -> np.ndarray:
+    """Reorder a per-read unique k-mer array [n, w] (first-occurrence order)
+    into FnvHashSet iteration order, so row index == iteration rank."""
+    if keys.shape[0] <= 1:
+        return keys
+    from .. import native
+
+    ranks = native.fnv_ranks_bytes(keys) if native.available() else None
+    if ranks is None:
+        from ..core.fnv import fnv1a64_batch, fnv_set_ranks
+
+        ranks = fnv_set_ranks(fnv1a64_batch(keys))
+    return keys[np.argsort(ranks)]
 
 
 def _mask_batch(batch, qual_offset: int):
@@ -134,8 +161,9 @@ def _prepare_native(batch, todo_idx, index, d, packed_ok):
         np.concatenate(seqs) if seqs else np.zeros(0, dtype=np.uint8)
     )
     width = m or k
+    fnv = fnv_order_enabled()
     if packed_ok and 4 <= width <= 32 and len(todo_idx) < 32768:
-        got = native.read_sets_packed(concat, offs, nseqs, k, d, m)
+        got = native.read_sets_packed(concat, offs, nseqs, k, d, m, fnv_order=fnv)
         if got is not None:
             return ("packed",) + got
     if index.blocked:
@@ -143,7 +171,8 @@ def _prepare_native(batch, todo_idx, index, d, packed_ok):
         # indexes must go through the packed (device-hash) or python path
         return None
     got = native.read_sets(
-        concat, offs, nseqs, k, d, m, index.num_hash, index.bloom_size
+        concat, offs, nseqs, k, d, m, index.num_hash, index.bloom_size,
+        fnv_order=fnv,
     )
     return None if got is None else ("rows",) + got
 
@@ -186,10 +215,13 @@ def classify_batch(
     clean_idx, dirty_idx = _split_lowercase(batch, todo_idx)
     report_rows: dict[int, np.ndarray] = {}
     maplen_map: dict[int, int] = {}
+    fnv = fnv_order_enabled()
     if dirty_idx:
         keys_list = [
             kmer_set(batch[i][1], k, d=d, minimizer=m) for i in dirty_idx
         ]
+        if fnv:
+            keys_list = [_fnv_order_keys(ks) for ks in keys_list]
         rep_d = engine.readid_counts(keys_list, start_sample)
         for j, i in enumerate(dirty_idx):
             report_rows[i] = rep_d[j]
@@ -215,6 +247,8 @@ def classify_batch(
             keys_list = [
                 kmer_set(batch[i][1], k, d=d, minimizer=m) for i in group
             ]
+            if fnv:
+                keys_list = [_fnv_order_keys(ks) for ks in keys_list]
             maplen = [keys.shape[0] for keys in keys_list]
             rep = engine.readid_counts(keys_list, start_sample)
         report_parts.append(rep)
@@ -239,6 +273,7 @@ def classify_batch(
     is_top = sig & (real == top_count[:, None])
     n_top = is_top.sum(axis=1)
 
+    tie_js: list[int] = []
     for j, i in enumerate(todo_idx):
         rid = batch[i][0]
         L = int(mlen[j])
@@ -253,7 +288,60 @@ def classify_batch(
             else:
                 name = ",".join(colors[int(c)] for c in tops)
                 out[i] = (rid, name, int(top_count[j]), L, "reject", len(tops))
+                tie_js.append(j)
+    if tie_js and fnv:
+        _fix_tie_order(
+            batch, todo_idx, tie_js, engine, d, start_sample,
+            real, noh, sig, top_count, mlen, out,
+        )
     return out
+
+
+def _fix_tie_order(
+    batch, todo_idx, tie_js, engine, d, start_sample,
+    real, noh, sig, top_count, mlen, out,
+) -> None:
+    """Rewrite tied-top reject rows so the comma-joined names follow the
+    reference's order: kmer_poll_plus stable-sorts the report FnvHashMap's
+    iteration order by count (read_id_mt_pe.rs:195-196), so ties keep map
+    order. The map's insertion order is recovered from the device first-hit
+    matrix; its iteration order via the hashbrown emulation (core/fnv.py)."""
+    from ..core.fnv import fnv_map_order_usize
+
+    index = engine.index
+    C = index.n_colors
+    k, m = index.k_size, index.m_size
+    colors = index.colors
+    BIG = 2**30
+    keys_list = []
+    for j in tie_js:
+        keys = kmer_set(batch[todo_idx[j]][1], k, d=d, minimizer=m)
+        keys_list.append(_fnv_order_keys(keys))
+    fh = engine.readid_firsthit(keys_list, start_sample)
+    for t, j in enumerate(tie_js):
+        i = todo_idx[j]
+        row_fh = fh[t]
+        present = [c for c in range(C) if row_fh[c] < BIG]
+        # insertion order: first phase-1 hit, ascending color within one
+        # k-mer; no_hits (key value C) enters at the break, hence last
+        ins = sorted(present, key=lambda c: (int(row_fh[c]), c))
+        if row_fh[C] < BIG:
+            ins.append(C)
+        iter_keys = fnv_map_order_usize(ins)
+        items = [
+            (ky, int(real[j][ky]) if ky < C else int(noh[j]))
+            for ky in iter_keys
+        ]
+        items.sort(key=lambda kv: -kv[1])  # stable: ties keep map order
+        tops_in_order = [
+            ky for ky, cnt in items
+            if ky < C and sig[j][ky] and cnt == int(top_count[j])
+        ]
+        name = ",".join(colors[c] for c in tops_in_order)
+        out[i] = (
+            batch[i][0], name, int(top_count[j]), int(mlen[j]),
+            "reject", len(tops_in_order),
+        )
 
 
 def _run_stream(

@@ -1,14 +1,17 @@
 """Report generation (reference: reports.rs).
 
-Output lines and thresholds replicate the reference byte-for-byte; the only
-deliberate deviation is determinism: the reference iterates HashMaps
-(arbitrary order) while we emit rows in color order and break mode() ties
-toward the smallest value (the reference's max_by_key tie-break is
-unspecified).
+Output lines and thresholds replicate the reference byte-for-byte. The
+search report row order and mode() ties use std HashMap with RandomState in
+the reference — genuinely random across its own runs — so we emit those in
+deterministic color order / smallest-value tie-break. The counts file
+(read_counts_five_fields) however iterates a deterministic FnvHashMap in
+the reference, so its row order is part of the bit-exact contract and is
+emulated (COLORID_FNV_ORDER=0 reverts to sorted order).
 """
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 
 
@@ -64,7 +67,9 @@ def generate_report_gene(
 
 def read_counts_five_fields(reads_path: str, prefix: str) -> None:
     """reports.rs:98-120: aggregate `<prefix>_reads.txt` into
-    `<prefix>_counts.txt`; non-accept rows land in the 'reject' bucket."""
+    `<prefix>_counts.txt`; non-accept rows land in the 'reject' bucket.
+    Row order follows the reference's FnvHashMap iteration order (the
+    Counter preserves insertion order = the map's insertion sequence)."""
     counts: Counter[str] = Counter()
     with open(reads_path) as f:
         for line in f:
@@ -73,6 +78,15 @@ def read_counts_five_fields(reads_path: str, prefix: str) -> None:
                 counts[v[1]] += 1
             else:
                 counts["reject"] += 1
+    if os.environ.get("COLORID_FNV_ORDER", "1") != "0":
+        from ..core.fnv import fnv_map_order_str
+
+        keys = [
+            kb.decode()
+            for kb in fnv_map_order_str([s.encode() for s in counts])
+        ]
+    else:
+        keys = sorted(counts)
     with open(f"{prefix}_counts.txt", "w") as out:
-        for key in sorted(counts):
+        for key in keys:
             out.write(f"{key}\t{counts[key]}\n")

@@ -17,8 +17,16 @@ from tests.test_cli_e2e import _ref_manifest, _synth_fastq
 
 SEARCH_GOLDEN = ["QUERY\t33291\tListeria_phage_B056\t0.99\t6.68\t6\t26305"]
 PERFECT_GOLDEN = ["Listeria_phage_B056\t32634\t1.00"]
-READID_MD5 = "86dd755f7da081d5dee1e2c0e02c6425"
-COUNTS_GOLDEN = ["Listeria_phage_B056\t2635", "no_hits\t100", "reject\t265"]
+# default (FnvHashSet-order emulation, reference semantics): junk reads hit
+# the break-on-absent cut at fnv-order positions, so the rows differ from
+# the first-occurrence variant pinned below
+READID_MD5 = "bec79247f2e7dc4ac38df8267bcda955"
+COUNTS_GOLDEN = ["Listeria_phage_B056\t2580", "no_hits\t94", "reject\t326"]
+# COLORID_FNV_ORDER=0 (deterministic first-occurrence order escape hatch)
+READID_MD5_FIRSTOCC = "86dd755f7da081d5dee1e2c0e02c6425"
+COUNTS_GOLDEN_FIRSTOCC = [
+    "Listeria_phage_B056\t2635", "no_hits\t100", "reject\t265",
+]
 
 
 @pytest.fixture(scope="module")
@@ -66,3 +74,14 @@ def test_read_id_golden(setup):
     assert hashlib.md5(rows.encode()).hexdigest() == READID_MD5
     counts = sorted(open(prefix + "_counts.txt").read().splitlines())
     assert counts == COUNTS_GOLDEN
+
+
+def test_read_id_golden_first_occurrence(setup, monkeypatch):
+    monkeypatch.setenv("COLORID_FNV_ORDER", "0")
+    tmp, bxi, fq = setup
+    prefix = str(tmp / "cls_fo")
+    main(["read_id", "-b", bxi, "-q", fq, "-n", prefix, "-d", "10"])
+    rows = open(prefix + "_reads.txt").read()
+    assert hashlib.md5(rows.encode()).hexdigest() == READID_MD5_FIRSTOCC
+    counts = sorted(open(prefix + "_counts.txt").read().splitlines())
+    assert counts == COUNTS_GOLDEN_FIRSTOCC

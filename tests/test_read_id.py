@@ -1,6 +1,8 @@
 """Read classifier vs an independent per-read oracle implementing
-search_index(_classic) + kmer_poll_plus literally (with the same
-first-occurrence k-mer order the engine uses)."""
+search_index(_classic) + kmer_poll_plus literally, iterating k-mer sets
+and report maps in the emulated FnvHashSet/FnvHashMap order (core/fnv.py;
+the production path computes ranks in C++ — cross-validated in
+tests/test_fnv_order.py — so this exercises two implementations)."""
 
 import math
 
@@ -42,12 +44,18 @@ def binom_pmf(n, k, p):
 
 
 def oracle_classify(rid, seqs, index, d, fp_correct, B):
+    from colorid_tpu.core.fnv import (
+        fnv1a64_str,
+        fnv_map_order_usize,
+        hashbrown_iteration_order,
+    )
+
     k, m = index.k_size, index.m_size
     C = index.n_colors
     matrix = np.asarray(index.matrix)
     if len(seqs[0]) < k:
         return (rid, "too_short", 0, 0, "accept", 0)
-    # first-occurrence canonical k-mer set
+    # canonical k-mer set in emulated FnvHashSet iteration order
     kmers = []
     seen = set()
     for s in seqs:
@@ -66,6 +74,8 @@ def oracle_classify(rid, seqs, index, d, fp_correct, B):
             if w not in seen:
                 seen.add(w)
                 kmers.append(w)
+    order = hashbrown_iteration_order([fnv1a64_str(w.encode()) for w in kmers])
+    kmers = [kmers[i] for i in order]
     report = {}
     no_hits = C
     cand = set()
@@ -100,7 +110,14 @@ def oracle_classify(rid, seqs, index, d, fp_correct, B):
         return (rid, "no_hits", 0, len(kmers), "accept", 0)
     n = len(kmers)
     sig = []
-    for c, cnt in sorted(report.items(), key=lambda t: (-t[1], t[0])):
+    # count_vec = report map iteration order, stable-sorted by count desc
+    # (kmer_poll_plus, read_id_mt_pe.rs:195-196); dict preserves insertion
+    # order, so emulate the FnvHashMap iteration permutation first
+    iter_keys = fnv_map_order_usize(list(report))
+    count_vec = sorted(
+        ((c, report[c]) for c in iter_keys), key=lambda t: -t[1]
+    )
+    for c, cnt in count_vec:
         if c == no_hits:
             continue
         p = false_prob(index.bloom_size, index.num_hash, index.n_ref_kmers[index.colors[c]])
@@ -170,6 +187,66 @@ def test_classifier_pe_and_accuracy(setup):
     got = classify_batch(batch, engine, d=1, fp_correct=1e-3, start_sample=3)
     accepted = [r for r in got if r[4] == "accept" and r[1] == "B056"]
     assert len(accepted) >= 45
+
+
+def test_classifier_tie_order(setup):
+    """Indexing the same genome under two accessions forces tied top hits on
+    every matching read; the comma-joined reject names must follow the
+    reference's FnvHashMap-order stable sort (kmer_poll_plus), which the
+    oracle reproduces independently of the production fixup path."""
+    ref_map = {
+        "dupA": [f"{REFS}/Listeria_phage_B056.fasta"],
+        "dupB": [f"{REFS}/Listeria_phage_B056.fasta"],
+        "other": [f"{REFS}/Listeria_phage_B021.fasta"],
+    }
+    index = build_index(ref_map, BLOOM, H, K, verbose=False)
+    engine = QueryEngine(index)
+    rng = np.random.default_rng(5)
+    g = read_fasta(f"{REFS}/Listeria_phage_B056.fasta")[0]
+    batch = []
+    for i in range(40):
+        start = rng.integers(0, len(g) - 150)
+        batch.append((f"@t{i}", [to_bytes(g[start : start + 150])]))
+    for B in (0, 3):
+        got = classify_batch(batch, engine, d=1, fp_correct=1e-3, start_sample=B)
+        want = [
+            oracle_classify(
+                rid, ["".join(chr(b) for b in s) for s in seqs], index, 1,
+                1e-3, B,
+            )
+            for rid, seqs in batch
+        ]
+        assert got == want
+        rejects = [r for r in got if r[4] == "reject" and r[5] == 2]
+        assert len(rejects) >= 30  # duplicates tie on nearly every read
+        # the fnv map order puts dupB (color 1) before dupA (color 0) here —
+        # a plain ascending-color join would get every one of these wrong
+        assert any(r[1] != "dupA,dupB" for r in rejects)
+
+
+def test_classifier_break_order(setup):
+    """Reads with junk halves (absent k-mers) exercise the break cut point:
+    the number of counted k-mers depends on the emulated set order, so a
+    production/oracle match here validates the ordering end to end."""
+    index, engine = setup
+    rng = np.random.default_rng(9)
+    g = read_fasta(f"{REFS}/Listeria_phage_B056.fasta")[0]
+    batch = []
+    for i in range(40):
+        start = rng.integers(0, len(g) - 75)
+        junk = "".join("ACGT"[c] for c in rng.integers(0, 4, 75))
+        read = g[start : start + 75] + junk
+        batch.append((f"@b{i}", [to_bytes(read)]))
+    for B in (0, 3):
+        got = classify_batch(batch, engine, d=1, fp_correct=1e-3, start_sample=B)
+        want = [
+            oracle_classify(
+                rid, ["".join(chr(b) for b in s) for s in seqs], index, 1,
+                1e-3, B,
+            )
+            for rid, seqs in batch
+        ]
+        assert got == want
 
 
 def test_classifier_lowercase_mixed(setup):
