@@ -539,6 +539,10 @@ class QueryEngine:
         C = self.index.n_colors
         out = np.zeros((n_reads, C + 1), dtype=np.int32)
         READS = self._rid_reads
+        # dispatch every chunk before fetching any result: jax dispatch is
+        # async, so H2D, kernel, and D2H of successive chunks pipeline
+        # instead of paying a link round-trip per chunk
+        pending = []
         for r0 in range(0, n_reads, READS):
             r1 = min(r0 + READS, n_reads)
             lo = np.searchsorted(seg, r0, "left")
@@ -568,6 +572,8 @@ class QueryEngine:
                 rpb=self.rpb,
                 bv=self.bv or 1,
             )
+            pending.append((r0, r1, report))
+        for r0, r1, report in pending:
             out[r0:r1] = np.asarray(report)[: r1 - r0]
         return out
 
@@ -587,6 +593,7 @@ class QueryEngine:
         out = np.zeros((n_reads, C + 1), dtype=np.int32)
         READS = self._rid_reads
         rows = rows.astype(np.int32, copy=False)
+        pending = []  # dispatch all chunks, then fetch (pipelined D2H)
         for r0 in range(0, n_reads, READS):
             r1 = min(r0 + READS, n_reads)
             lo = np.searchsorted(seg, r0, "left")
@@ -612,5 +619,7 @@ class QueryEngine:
                 wpad=self.wpad,
                 rpb=self.rpb,
             )
+            pending.append((r0, r1, report))
+        for r0, r1, report in pending:
             out[r0:r1] = np.asarray(report)[: r1 - r0]
         return out

@@ -18,7 +18,7 @@ import numpy as np
 from ..engine import SearchResult, _round_up
 from ..hashing.xxh3 import bloom_rows_batch
 from ..index.bigsi import BigsiIndex
-from ..ops.query import FREQ_CAP
+from ..ops.query import FREQ_CAP, PAD_POS, row_wpad
 from . import sharded
 
 
@@ -41,6 +41,7 @@ class ShardedQueryEngine:
             n = len(jax.devices())
             mesh = sharded.make_mesh(n_data, n // n_data, layout)
         self.mesh = mesh
+        self.rpb = 0  # blocked single-fetch fast path (0 = generic gather)
         if sharded_matrix is not None:
             # device-resident blocks from a row-sharded build
             # (ops/build_ops.py::build_matrix_rowshard + pack_blocks_rowshard):
@@ -54,10 +55,19 @@ class ShardedQueryEngine:
             self.mat, self.wpad, self.Wl = sharded.device_put_colorshard(
                 matrix, mesh
             )
+            # blocked layout: a k-mer's H rows share one build-time row
+            # group; any power-of-two shard-local rows-per-block >= the
+            # build-time group nests it, so each shard still serves a k-mer
+            # with ONE block fetch from its color slice
+            if index.blocked and self.wpad <= 128:
+                self.rpb = 128 // self.wpad
         else:
+            mult = 128 if index.blocked else 1
             self.mat, self.wpad, self.Rl = sharded.device_put_rowshard(
-                matrix, mesh
+                matrix, mesh, row_multiple=mult
             )
+            if index.blocked and self.wpad <= 128:
+                self.rpb = 128 // self.wpad  # Rl % rpb == 0 via row_multiple
 
     def _rows(self, keys: np.ndarray) -> np.ndarray:
         from .. import native
@@ -114,7 +124,7 @@ class ShardedQueryEngine:
             if self.layout == "color":
                 c, u, _v, aa, av = sharded.query_batch_colorshard(
                     self.mat, rows, mask,
-                    mesh=self.mesh, wpad=self.wpad, Wl=self.Wl,
+                    mesh=self.mesh, wpad=self.wpad, Wl=self.Wl, rpb=self.rpb,
                 )
                 nm = self.mesh.shape["color"]
                 cc = (
@@ -129,13 +139,18 @@ class ShardedQueryEngine:
                 c, u, _v, aa, av = sharded.query_batch_rowshard(
                     self.mat, rows, mask,
                     mesh=self.mesh, wpad=self.wpad, Rl=self.Rl,
-                    W=W,
+                    W=W, rpb=self.rpb,
                 )
                 counts += np.asarray(c)[:C].astype(np.int64)
                 and_all &= np.asarray(aa)[:W]
             uniq_color[start:stop] = np.asarray(u)[:m]
             all_valid = all_valid and bool(av)
-        # exact uniq-hit frequency stats, host-side
+        return self._finish(
+            counts, all_valid, and_all, hist, uniq_color, qcounts
+        )
+
+    def _finish(self, counts, all_valid, and_all, hist, uniq_color, qcounts):
+        """Exact uniq-hit frequency stats, host-side."""
         over_c: list[int] = []
         over_f: list[int] = []
         sel = uniq_color >= 0
@@ -153,4 +168,164 @@ class ShardedQueryEngine:
             hist,
             np.asarray(over_c, dtype=np.int32),
             np.asarray(over_f, dtype=np.int32),
+        )
+
+    # -- sharded read classifier ---------------------------------------------
+
+    def readid_counts(
+        self, keys_per_read: list[np.ndarray], start_sample: int
+    ) -> np.ndarray:
+        """Per-read per-color hit counts [B, C+1] (column C = no_hits) —
+        same contract and semantics as QueryEngine.readid_counts (break on
+        absent, -B two-phase, keys in set-iteration order), with reads
+        partitioned across the data axis (the reference's rayon fan-out,
+        read_id_mt_pe.rs:300-361) and the matrix sharded on the model axis."""
+        import jax.numpy as jnp
+
+        index = self.index
+        C = index.n_colors
+        n_reads = len(keys_per_read)
+        out = np.zeros((n_reads, C + 1), dtype=np.int32)
+        if n_reads == 0:
+            return out
+        nd = self.mesh.shape["data"]
+        n_reads_l = -(-n_reads // nd)
+        rows_r = [self._rows(k) if k.shape[0] else
+                  np.zeros((0, index.num_hash), np.int32)
+                  for k in keys_per_read]
+        # per data shard: flatten its reads' k-mers; pad to a common length
+        per_shard = []
+        for s in range(nd):
+            lo, hi = s * n_reads_l, min((s + 1) * n_reads_l, n_reads)
+            rr, ss, pp = [], [], []
+            for i in range(lo, hi):
+                kn = rows_r[i].shape[0]
+                if kn == 0:
+                    continue
+                rr.append(rows_r[i])
+                ss.append(np.full(kn, i - lo, dtype=np.int32))
+                pp.append(np.arange(kn, dtype=np.int32))
+            if rr:
+                per_shard.append(
+                    (np.concatenate(rr), np.concatenate(ss), np.concatenate(pp))
+                )
+            else:
+                per_shard.append(
+                    (np.zeros((0, index.num_hash), np.int32),
+                     np.zeros(0, np.int32), np.zeros(0, np.int32))
+                )
+        Nl = _round_up(max(max(p[0].shape[0] for p in per_shard), 1), 8)
+        rows = np.zeros((nd, Nl, index.num_hash), dtype=np.int32)
+        seg = np.zeros((nd, Nl), dtype=np.int32)
+        pos = np.full((nd, Nl), PAD_POS, dtype=np.int32)
+        for s, (rr, ss, pp) in enumerate(per_shard):
+            n = rr.shape[0]
+            rows[s, :n] = rr
+            seg[s, :n] = ss
+            pos[s, :n] = pp
+        if self.layout == "color":
+            rep, noh = sharded.readid_batch_colorshard(
+                self.mat, jnp.asarray(rows), jnp.asarray(seg),
+                jnp.asarray(pos), mesh=self.mesh, wpad=self.wpad,
+                Wl=self.Wl, start_sample=start_sample, n_reads_l=n_reads_l,
+                rpb=self.rpb,
+            )
+        else:
+            rep, noh = sharded.readid_batch_rowshard(
+                self.mat, jnp.asarray(rows), jnp.asarray(seg),
+                jnp.asarray(pos), mesh=self.mesh, wpad=self.wpad,
+                Rl=self.Rl, W=index.words_per_row,
+                start_sample=start_sample, n_reads_l=n_reads_l, rpb=self.rpb,
+            )
+        rep = np.asarray(rep)
+        noh = np.asarray(noh)
+        out[:, :C] = rep[:n_reads, :C]
+        out[:, C] = noh[:n_reads]
+        return out
+
+    # -- sharded device extraction (search_reads) ------------------------------
+
+    def search_reads(
+        self,
+        reads_packed: np.ndarray,
+        lens: np.ndarray,
+        *,
+        k: int,
+        L: int,
+        filter_t: int = 0,
+        d: int = 1,
+    ) -> tuple[SearchResult, int]:
+        """QueryEngine.search_reads on the mesh: reads split over the data
+        axis, device extraction + a global unique merge (exact whole-batch
+        frequency semantics), on-device hashing, sharded query."""
+        import jax.numpy as jnp
+
+        index = self.index
+        if not (4 <= k <= 32 and index.bloom_size < 2**31):
+            raise ValueError("search_reads requires the device-hash envelope")
+        nd = self.mesh.shape["data"]
+        R = reads_packed.shape[0]
+        NW = L - k + 1
+        Rp = _round_up(max(R, nd), nd)
+        if Rp * NW >= 2**31:
+            raise ValueError(
+                "read batch exceeds int32 device indexing; split the batch"
+            )
+        rp = np.zeros((Rp, reads_packed.shape[1]), dtype=np.uint32)
+        rp[:R] = reads_packed
+        ln = np.zeros(Rp, dtype=np.int32)
+        ln[:R] = np.asarray(lens, dtype=np.int32)
+        keys2, qc, n_own = sharded.extract_merge_datashard(
+            jnp.asarray(rp), jnp.asarray(ln), mesh=self.mesh,
+            k=k, L=L, filter_t=filter_t, d=d,
+        )
+        n_own = np.asarray(n_own)
+        n_u = int(n_own.sum())
+        C = index.n_colors
+        W = index.words_per_row
+        counts = np.zeros(C, dtype=np.int64)
+        and_all = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
+        hist = np.zeros((C, FREQ_CAP), dtype=np.int64)
+        none = np.zeros(0, dtype=np.int32)
+        if n_u == 0:
+            return SearchResult(counts, True, and_all, hist, none, none), 0
+        # tight per-shard slice over the compacted owned uniques
+        T = keys2.shape[0] // nd
+        S = min(_round_up(max(int(n_own.max()), 1), 8), T)
+        ks = jnp.reshape(keys2, (nd, T, 2))[:, :S].reshape(nd * S, 2)
+        qs = jnp.reshape(qc, (nd, T))[:, :S].reshape(nd * S)
+        if index.blocked:
+            wpad_g = row_wpad(W)
+            rpb_place, v2 = 128 // wpad_g, int(index.blocked) == 2
+        else:
+            rpb_place, v2 = 0, False
+        rows = sharded.hash_packed_datashard(
+            ks, mesh=self.mesh, k=k, num_hash=index.num_hash,
+            bloom_size=index.bloom_size, rpb_place=rpb_place, v2=v2,
+        )
+        mask = qs > 0
+        if self.layout == "color":
+            c, u, _v, aa, av = sharded.query_batch_colorshard(
+                self.mat, rows, mask,
+                mesh=self.mesh, wpad=self.wpad, Wl=self.Wl, rpb=self.rpb,
+            )
+            nm = self.mesh.shape["color"]
+            cc = np.asarray(c).reshape(nm, -1)[:, : self.Wl * 32].reshape(-1)
+            counts += cc[:C].astype(np.int64)
+            aw = np.asarray(aa).reshape(nm, -1)[:, : self.Wl].reshape(-1)[:W]
+            and_all &= aw
+        else:
+            c, u, _v, aa, av = sharded.query_batch_rowshard(
+                self.mat, rows, mask,
+                mesh=self.mesh, wpad=self.wpad, Rl=self.Rl, W=W, rpb=self.rpb,
+            )
+            counts += np.asarray(c)[:C].astype(np.int64)
+            and_all &= np.asarray(aa)[:W]
+        uniq_color = np.asarray(u)
+        qcounts = np.asarray(qs)
+        return (
+            self._finish(
+                counts, bool(av), and_all, hist, uniq_color, qcounts
+            ),
+            n_u,
         )

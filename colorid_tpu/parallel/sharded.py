@@ -76,12 +76,15 @@ def device_put_colorshard(matrix: np.ndarray, mesh: Mesh):
     return arr, wpad, Wl
 
 
-def device_put_rowshard(matrix: np.ndarray, mesh: Mesh):
+def device_put_rowshard(matrix: np.ndarray, mesh: Mesh, row_multiple: int = 1):
     """Split the Bloom-row axis across shards; pack each shard. Returns
-    (blocks [n_shards, nb, 128] sharded, wpad, rows_per_shard)."""
+    (blocks [n_shards, nb, 128] sharded, wpad, rows_per_shard).
+    row_multiple rounds the shard height (blocked layouts need the blocked
+    row group to never straddle a shard boundary)."""
     n = mesh.shape["row"]
     R, W = matrix.shape
     Rl = -(-R // n)
+    Rl = -(-Rl // row_multiple) * row_multiple
     wpad = row_wpad(W)
     shards = []
     for i in range(n):
@@ -102,9 +105,9 @@ def device_put_rowshard(matrix: np.ndarray, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 
-def _colorshard_body(wpad, Wl, mat, rows, mask):
+def _colorshard_body(wpad, Wl, rpb, mat, rows, mask):
     """Per-device body. mat: [1, nb, 128]; rows: [Nl, H]; mask: [Nl]."""
-    g = _gather_rows(mat[0], rows, wpad)[:, :, :Wl]  # [Nl, H, Wl]
+    g = _gather(mat[0], rows, wpad, rpb)[:, :, :Wl]  # [Nl, H, Wl]
     present_local = (g != 0).any(axis=2)  # [Nl, H]
     present = (
         jax.lax.psum(present_local.astype(jnp.int32), "color") > 0
@@ -138,12 +141,13 @@ def _colorshard_body(wpad, Wl, mat, rows, mask):
     return counts, uniq, valid, and_all, all_valid
 
 
-@partial(jax.jit, static_argnames=("mesh", "wpad", "Wl"))
-def query_batch_colorshard(matrix, rows, mask, *, mesh, wpad, Wl):
+@partial(jax.jit, static_argnames=("mesh", "wpad", "Wl", "rpb"))
+def query_batch_colorshard(matrix, rows, mask, *, mesh, wpad, Wl, rpb=0):
     """Same contract as ops.query.query_batch on a ("data","color") mesh;
-    counts/and_all are concatenated over color shards (width n*Wl words)."""
+    counts/and_all are concatenated over color shards (width n*Wl words).
+    rpb > 0 enables the blocked single-fetch gather on each shard."""
     f = jax.shard_map(
-        partial(_colorshard_body, wpad, Wl),
+        partial(_colorshard_body, wpad, Wl, rpb),
         mesh=mesh,
         in_specs=(P("color", None, None), P("data", None), P("data")),
         out_specs=(
@@ -163,13 +167,13 @@ def query_batch_colorshard(matrix, rows, mask, *, mesh, wpad, Wl):
 # ---------------------------------------------------------------------------
 
 
-def _rowshard_body(wpad, Rl, W, mat, rows, mask):
+def _rowshard_body(wpad, Rl, W, rpb, mat, rows, mask):
     """mat: [1, nb, 128] covering rows [lo, lo+Rl); rows: [Nl, H]."""
     lo = jax.lax.axis_index("row") * Rl
     local = rows - lo
     owned = (local >= 0) & (local < Rl)
     safe = jnp.clip(local, 0, Rl - 1)
-    g = _gather_rows(mat[0], safe, wpad)[:, :, :W]  # [Nl, H, W]
+    g = _gather(mat[0], safe, wpad, rpb)[:, :, :W]  # [Nl, H, W]
     ones = jnp.uint32(0xFFFFFFFF)
     g = jnp.where(owned[:, :, None], g, ones)  # neutral for AND
     present_or_neutral = jnp.where(owned, (g != 0).any(axis=2), True)
@@ -198,14 +202,271 @@ def _rowshard_body(wpad, Rl, W, mat, rows, mask):
     return counts, uniq, valid, and_all, all_valid
 
 
-@partial(jax.jit, static_argnames=("mesh", "wpad", "Rl", "W"))
-def query_batch_rowshard(matrix, rows, mask, *, mesh, wpad, Rl, W):
-    """Same contract as ops.query.query_batch on a ("data","row") mesh."""
+@partial(jax.jit, static_argnames=("mesh", "wpad", "Rl", "W", "rpb"))
+def query_batch_rowshard(matrix, rows, mask, *, mesh, wpad, Rl, W, rpb=0):
+    """Same contract as ops.query.query_batch on a ("data","row") mesh.
+    rpb > 0 enables the blocked single-fetch gather (requires Rl to be a
+    multiple of the blocked row group so blocks never straddle shards)."""
     f = jax.shard_map(
-        partial(_rowshard_body, wpad, Rl, W),
+        partial(_rowshard_body, wpad, Rl, W, rpb),
         mesh=mesh,
         in_specs=(P("row", None, None), P("data", None), P("data")),
         out_specs=(P(), P("data"), P("data"), P(), P()),
         check_vma=False,
     )
     return f(matrix, rows, mask)
+
+
+# ---------------------------------------------------------------------------
+# sharded device extraction (search_reads on a mesh)
+# ---------------------------------------------------------------------------
+
+
+def _extract_merge_body(k, L, filter_t, d, reads, lens):
+    """Per-device body: extract + count the local read shard's canonical
+    k-mer windows, then merge to a GLOBAL unique set (the reference counts
+    k-mers over the whole fastq before filtering, batch_search_pe.rs:28-39,
+    so per-shard filtering would change results). Merge = all_gather the
+    per-shard (key, local-count) sets over the data axis, sort once, sum
+    duplicate counts, apply the strictly-greater filter, and keep the slice
+    of the sorted array this shard owns (disjoint + exhaustive). Every
+    device redundantly sorts the gathered set — simple and exact; the
+    gathered set is unique-per-shard so it is far smaller than the raw
+    window stream."""
+    from ..ops.extract import extract_count
+
+    pk, qc, _n = extract_count(reads, lens, k=k, L=L, filter_t=0, d=d)
+    SENT = jnp.uint32(0xFFFFFFFF)
+    pad = qc == 0
+    lo = jnp.where(pad, SENT, pk[:, 0])
+    hi = jnp.where(pad, SENT, pk[:, 1])
+    ga_hi = jax.lax.all_gather(hi, "data").reshape(-1)
+    ga_lo = jax.lax.all_gather(lo, "data").reshape(-1)
+    ga_qc = jax.lax.all_gather(qc, "data").reshape(-1)
+    s_hi, s_lo, s_qc = jax.lax.sort((ga_hi, ga_lo, ga_qc), num_keys=2)
+    N = s_hi.shape[0]
+    iota = jnp.arange(N, dtype=jnp.int32)
+    new = (iota == 0) | (s_hi != jnp.roll(s_hi, 1)) | (s_lo != jnp.roll(s_lo, 1))
+    starts = jnp.where(new, iota, np.int32(N))
+    suffix_min = jax.lax.cummin(starts, axis=0, reverse=True)
+    next_start = jnp.concatenate(
+        [suffix_min[1:], jnp.full((1,), N, dtype=jnp.int32)]
+    )
+    csum = jnp.cumsum(s_qc)
+    left = jnp.where(iota > 0, csum[jnp.maximum(iota - 1, 0)], 0)
+    total = csum[next_start - 1] - left
+    keep = new & ~((s_hi == SENT) & (s_lo == SENT)) & (total > filter_t)
+    nd = jax.lax.axis_size("data")
+    T = N // nd
+    s = jax.lax.axis_index("data")
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s * T, T)
+    klo, khi, kp, tt = sl(s_lo), sl(s_hi), sl(keep), sl(total)
+    # compact owned uniques to the front so callers can query a tight slice
+    pos = jnp.cumsum(kp) - 1
+    to = jnp.where(kp, pos, np.int32(T)).astype(jnp.int32)
+    keys_out = jnp.zeros((T, 2), dtype=jnp.uint32)
+    keys_out = keys_out.at[to].set(jnp.stack([klo, khi], axis=1), mode="drop")
+    qc_out = jnp.zeros(T, dtype=jnp.int32).at[to].set(tt, mode="drop")
+    n_owned = kp.sum().astype(jnp.int32)[None]
+    return keys_out, qc_out, n_owned
+
+
+@partial(jax.jit, static_argnames=("mesh", "k", "L", "filter_t", "d"))
+def extract_merge_datashard(reads, lens, *, mesh, k, L, filter_t, d=1):
+    """Device extraction + global unique/count/filter over the data axis.
+    reads [R, ceil(L/16)] uint32 (R a multiple of mesh data size); returns
+    (keys [nd*T, 2] sharded over data (owned uniques compacted per shard),
+    qcounts [nd*T] (0 = padding), n_owned [nd])."""
+    f = jax.shard_map(
+        partial(_extract_merge_body, k, L, filter_t, d),
+        mesh=mesh,
+        in_specs=(P("data", None), P("data")),
+        out_specs=(P("data", None), P("data"), P("data")),
+        check_vma=False,
+    )
+    return f(reads, lens)
+
+
+def _hash_packed_body(k, num_hash, bloom_size, rpb_place, v2, keys2):
+    from ..ops.hash_jax import _limbs_from_packed
+    from ..ops.query import _device_rows
+
+    limbs = _limbs_from_packed(keys2[:, 0], keys2[:, 1], k)
+    return _device_rows(limbs, k, num_hash, bloom_size, rpb_place, v2)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "num_hash", "bloom_size", "rpb_place", "v2"),
+)
+def hash_packed_datashard(
+    keys2, *, mesh, k, num_hash, bloom_size, rpb_place=0, v2=False
+):
+    """On-device XXH3 Bloom rows [N, H] for data-sharded packed k-mers
+    (rpb_place/v2 = the index's build-time blocked placement)."""
+    f = jax.shard_map(
+        partial(_hash_packed_body, k, num_hash, bloom_size, rpb_place, v2),
+        mesh=mesh,
+        in_specs=(P("data", None),),
+        out_specs=P("data", None),
+        check_vma=False,
+    )
+    return f(keys2)
+
+
+# ---------------------------------------------------------------------------
+# sharded read classifier (read_id hot loop on a mesh)
+# ---------------------------------------------------------------------------
+
+
+def _readid_color_body(
+    wpad, Wl, start_sample, n_reads_l, rpb, mat, rows, seg, pos
+):
+    """Per-device read_id body on a ("data","color") mesh. Reads partition
+    across the data axis (the reference's rayon par_iter over reads,
+    read_id_mt_pe.rs:300-361); each color shard counts its own color slice.
+    Row presence (the break condition) is global: psum over color.
+
+    mat: [1, nb, 128]; rows: [1, Nl, H]; seg/pos: [1, Nl] (seg relative to
+    the shard's read base, pos = FnvHashSet iteration rank)."""
+    rows, seg, pos = rows[0], seg[0], pos[0]
+    g = _gather(mat[0], rows, wpad, rpb)[:, :, :Wl]
+    present_l = (g != 0).any(axis=2)  # [Nl, H]
+    present = (
+        jax.lax.psum(present_l.astype(jnp.int32), "color") > 0
+    ).all(axis=1)
+    BIG = jnp.int32(2**30)
+    absent_pos = jnp.where(present, BIG, pos)
+    first_absent = (
+        jnp.full((n_reads_l,), BIG, dtype=jnp.int32).at[seg].min(absent_pos)
+    )
+    fa = first_absent[seg]
+    counted = present & (pos < fa)
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    bits = _unpack_bits(andw)[:, : Wl * 32]  # [Nl, Cl]
+    cbits = bits * counted[:, None].astype(jnp.int32)
+    if start_sample > 0:
+        # candidate membership is per-color, hence shard-local
+        ph1 = cbits * (pos < start_sample)[:, None].astype(jnp.int32)
+        cand = (
+            jnp.zeros((n_reads_l, bits.shape[1]), dtype=jnp.int32)
+            .at[seg]
+            .max(ph1)
+        )
+        ph2 = cbits * (pos >= start_sample)[:, None].astype(jnp.int32)
+        contrib = ph1 + ph2 * cand[seg]
+    else:
+        contrib = cbits
+    report = (
+        jnp.zeros((n_reads_l, bits.shape[1]), dtype=jnp.int32)
+        .at[seg]
+        .add(contrib)
+    )
+    no_hits = (first_absent < BIG).astype(jnp.int32)
+    return report, no_hits
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "wpad", "Wl", "start_sample", "n_reads_l", "rpb"),
+)
+def readid_batch_colorshard(
+    matrix, rows, seg, pos, *, mesh, wpad, Wl, start_sample, n_reads_l, rpb=0
+):
+    """query_readid_batch on a ("data","color") mesh: returns
+    (report [nd*n_reads_l, n_color*Wl*32], no_hits [nd*n_reads_l])."""
+    f = jax.shard_map(
+        partial(_readid_color_body, wpad, Wl, start_sample, n_reads_l, rpb),
+        mesh=mesh,
+        in_specs=(
+            P("color", None, None),
+            P("data", None, None),
+            P("data", None),
+            P("data", None),
+        ),
+        out_specs=(P("data", "color"), P("data")),
+        check_vma=False,
+    )
+    return f(matrix, rows, seg, pos)
+
+
+def _readid_row_body(
+    wpad, Rl, W, start_sample, n_reads_l, rpb, mat, rows, seg, pos
+):
+    """read_id body on a ("data","row") mesh: partial ANDs all_gather over
+    the row axis (like _rowshard_body), then the segment logic runs
+    replicated per data shard."""
+    rows, seg, pos = rows[0], seg[0], pos[0]
+    lo = jax.lax.axis_index("row") * Rl
+    local = rows - lo
+    owned = (local >= 0) & (local < Rl)
+    safe = jnp.clip(local, 0, Rl - 1)
+    g = _gather(mat[0], safe, wpad, rpb)[:, :, :W]
+    ones = jnp.uint32(0xFFFFFFFF)
+    g = jnp.where(owned[:, :, None], g, ones)
+    present_or_neutral = jnp.where(owned, (g != 0).any(axis=2), True)
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    ga = jax.lax.all_gather(andw, "row")
+    andw = jax.lax.reduce(ga, ones, jax.lax.bitwise_and, dimensions=(0,))
+    present = (
+        jax.lax.psum(present_or_neutral.astype(jnp.int32), "row")
+        == jax.lax.axis_size("row")
+    ).all(axis=1)
+    BIG = jnp.int32(2**30)
+    absent_pos = jnp.where(present, BIG, pos)
+    first_absent = (
+        jnp.full((n_reads_l,), BIG, dtype=jnp.int32).at[seg].min(absent_pos)
+    )
+    fa = first_absent[seg]
+    counted = present & (pos < fa)
+    bits = _unpack_bits(andw)[:, : W * 32]
+    cbits = bits * counted[:, None].astype(jnp.int32)
+    if start_sample > 0:
+        ph1 = cbits * (pos < start_sample)[:, None].astype(jnp.int32)
+        cand = (
+            jnp.zeros((n_reads_l, bits.shape[1]), dtype=jnp.int32)
+            .at[seg]
+            .max(ph1)
+        )
+        ph2 = cbits * (pos >= start_sample)[:, None].astype(jnp.int32)
+        contrib = ph1 + ph2 * cand[seg]
+    else:
+        contrib = cbits
+    report = (
+        jnp.zeros((n_reads_l, bits.shape[1]), dtype=jnp.int32)
+        .at[seg]
+        .add(contrib)
+    )
+    no_hits = (first_absent < BIG).astype(jnp.int32)
+    return report, no_hits
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "wpad", "Rl", "W", "start_sample", "n_reads_l", "rpb",
+    ),
+)
+def readid_batch_rowshard(
+    matrix, rows, seg, pos, *, mesh, wpad, Rl, W, start_sample, n_reads_l,
+    rpb=0,
+):
+    """query_readid_batch on a ("data","row") mesh: returns
+    (report [nd*n_reads_l, W*32], no_hits [nd*n_reads_l])."""
+    f = jax.shard_map(
+        partial(_readid_row_body, wpad, Rl, W, start_sample, n_reads_l, rpb),
+        mesh=mesh,
+        in_specs=(
+            P("row", None, None),
+            P("data", None, None),
+            P("data", None),
+            P("data", None),
+        ),
+        out_specs=(P("data", None), P("data")),
+        check_vma=False,
+    )
+    return f(matrix, rows, seg, pos)

@@ -239,14 +239,51 @@ class Handler(BaseHTTPRequestHandler):
             self._send(500, {"error": str(e)})
 
 
-def make_server(bigsi_path: str, port: int, host: str = "127.0.0.1"):
+class _Server(ThreadingHTTPServer):
+    # bursts of concurrent clients beyond the default listen backlog (5)
+    # would get connection resets before the accept loop drains them
+    request_queue_size = 128
+    daemon_threads = True
+
+
+def _warmup(engine) -> None:
+    """Compile the hot kernels on the MAIN thread before serving.
+
+    Request threads would otherwise pay the cold compiles, and on remote-TPU
+    tunnels a compile dispatched from a non-main thread is pathologically
+    slow (measured 120s vs 3.5s for the same readid kernel); the first live
+    request shouldn't pay either cost."""
+    import numpy as np
+
+    from .pipelines.read_id import classify_batch
+
+    t0 = time.time()
+    idx = engine.index
+    k = idx.k_size
+    g = np.frombuffer(b"ACGT" * ((k + 150) // 4 + 40), dtype=np.uint8)
+    batch = [(f"w{i}", [g[i : i + 150].copy()]) for i in range(3)]
+    classify_batch(batch, engine, d=1, fp_correct=1e-3, start_sample=3)
+    width = idx.m_size or idx.k_size
+    keys = np.tile(g[:width], (3, 1)).copy()
+    keys[1, 0] = ord("C")
+    keys[2, 0] = ord("G")
+    engine.search_keys(keys)
+    engine.readid_firsthit([keys], 3)  # tie-order fixup kernel
+    print(f"kernels warmed in {time.time() - t0:.1f}s", file=sys.stderr)
+
+
+def make_server(
+    bigsi_path: str, port: int, host: str = "127.0.0.1", warmup: bool = True
+):
     from .engine import QueryEngine
     from .index.bigsi import BigsiIndex
 
     _State.engine = QueryEngine(BigsiIndex.load(bigsi_path))
     _State.lock = threading.Lock()
+    if warmup:
+        _warmup(_State.engine)
     _State.batcher = _ClassifyBatcher()
-    return ThreadingHTTPServer((host, port), Handler)
+    return _Server((host, port), Handler)
 
 
 def main(argv=None):

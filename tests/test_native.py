@@ -104,6 +104,7 @@ def test_read_sets_matches_python():
     out = native.read_sets(
         np.concatenate(concat) if concat else np.zeros(0, np.uint8),
         np.array(offs), np.array(nseqs), k, d, 0, H, bloom,
+        fnv_order=False,  # first-occurrence pos; fnv ranks: test_fnv_order
     )
     assert out is not None
     rows, seg, pos, maplen = out

@@ -90,6 +90,65 @@ def test_classify_concurrent_microbatch(server):
         assert [r["id"] for r in rows] == [r["id"] for r in p["reads"]]
 
 
+def test_classify_load_coalesces_launches(tmp_path_factory, monkeypatch):
+    """Load test: 32 concurrent 1-read /classify requests must coalesce into
+    far fewer device launches than requests (the batcher's whole point), all
+    succeed, and report a QPS figure (stderr; chip numbers live in PERF.md)."""
+    import sys
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from colorid_tpu.pipelines import read_id as rid_mod
+
+    launches = []
+    real = rid_mod.classify_batch
+
+    def counting(batch, *a, **kw):
+        launches.append(len(batch))
+        return real(batch, *a, **kw)
+
+    # the batcher worker binds classify_batch at thread start; patch first
+    monkeypatch.setattr(rid_mod, "classify_batch", counting)
+    tmp = tmp_path_factory.mktemp("serve_load")
+    man = _ref_manifest(tmp)
+    index = build_index(tab_to_map(man), 400_000, 4, 27, verbose=False)
+    path = str(tmp / "panel.bxi")
+    index.save(path)
+    srv = serve.make_server(path, 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        g = "".join(read_fasta(f"{REFS}/Listeria_phage_B056.fasta"))
+        n_req = 32
+        payloads = [
+            {"reads": [{"id": f"q{i}", "seqs": [g[i * 400 : i * 400 + 150]]}]}
+            for i in range(n_req)
+        ]
+        # warm the kernels so the timed window measures steady state
+        _post(base + "/classify", payloads[0])
+        launches.clear()
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=n_req) as ex:
+            outs = list(
+                ex.map(lambda p: _post(base + "/classify", p)["rows"], payloads)
+            )
+        dt = time.time() - t0
+        assert all(len(o) == 1 for o in outs)
+        ids = {o[0]["id"] for o in outs}
+        assert ids == {f"q{i}" for i in range(n_req)}
+        # coalescing: far fewer launches than requests, covering all reads
+        assert sum(launches) == n_req
+        assert len(launches) <= n_req // 2, launches
+        print(
+            f"\nserve /classify load: {n_req} concurrent 1-read requests in "
+            f"{dt:.2f}s -> {n_req / dt:.0f} QPS across {len(launches)} "
+            f"launches", file=sys.stderr,
+        )
+    finally:
+        srv.shutdown()
+
+
 def test_bad_json(server):
     req = urllib.request.Request(
         server + "/search", b"{not json", headers={"Content-Type": "application/json"}
