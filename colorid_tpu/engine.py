@@ -114,7 +114,7 @@ class QueryEngine:
             self._rid_floor = 65536
         self._stream = False
         if (
-            self.bv == 2
+            self.bv in (2, 3)  # split-lane placements
             and index.num_hash in (1, 2, 4)  # the kernel's gather trees
             and self.wpad <= 4
             and index.n_colors <= 127
@@ -264,6 +264,7 @@ class QueryEngine:
                         bloom_size=self.index.bloom_size,
                         rpb=self.rpb,
                         n_colors=C,
+                        bv=self.bv,
                     )
                     drops.append(nd)
                     continue
@@ -371,6 +372,12 @@ class QueryEngine:
                 "device indexing; split the batch (R * (L - k + 1) must stay "
                 "under 2^31)"
             )
+        if self._stream and self.bv == 3:
+            out = self._search_reads_fused(
+                reads_packed, lens, k=k, L=L, filter_t=filter_t, d=d
+            )
+            if out is not None:
+                return out
         from .ops.extract import extract_count
         from .ops.query import query_accumulate_hash_scan_exact
 
@@ -441,6 +448,44 @@ class QueryEngine:
                 bv=self.bv or 1,
             )
         return self._collect(stats, hist, oc_buf, of_buf, capO), n
+
+    def _search_reads_fused(
+        self, reads_packed, lens, *, k, L, filter_t, d
+    ) -> tuple[SearchResult, int] | None:
+        """search_reads through the one-call fused pipeline
+        (ops/fused_reads.py): extraction, exact counting and the
+        sorted-stream query kernel in a single dispatch, on the v3
+        (value-addressed) blocked layout. Returns None when the kernel's
+        residual/overflow capacity was exceeded (pathological distributions
+        only) so the caller falls back to the generic path."""
+        from .ops.fused_reads import fused_search_reads
+        from .ops.stream_query import OVER_CAP, RES_CAP
+
+        C = self.index.n_colors
+        stats = jnp.concatenate(
+            [
+                jnp.zeros(C, dtype=jnp.int32),
+                jnp.full(self.wpad, -1, dtype=jnp.int32),
+                jnp.array([1, 0], dtype=jnp.int32),
+            ]
+        )
+        hist = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
+        capO = OVER_CAP + RES_CAP
+        oc_buf = jnp.zeros(capO, dtype=jnp.int32)
+        of_buf = jnp.zeros(capO, dtype=jnp.int32)
+        stats, hist, oc_buf, of_buf, n_drop, n_u = fused_search_reads(
+            stats, hist, oc_buf, of_buf,
+            self.blocks2, self._blocks_bp,
+            jnp.asarray(reads_packed),
+            jnp.asarray(np.asarray(lens, dtype=np.int32)),
+            k=k, L=L, filter_t=filter_t, d=d,
+            wpad=self.wpad, num_hash=self.index.num_hash,
+            bloom_size=self.index.bloom_size, rpb=self.rpb, n_colors=C,
+        )
+        tail = np.asarray(jnp.stack([n_drop, n_u]))  # one D2H for both
+        if int(tail[0]) > 0:
+            return None
+        return self._collect(stats, hist, oc_buf, of_buf, capO), int(tail[1])
 
     # -- read classifier (read_id hot loop) ----------------------------------
 

@@ -40,7 +40,9 @@ class BigsiIndex:
     blocked: int = 0  # turbo layout version: 0 = classic rows; 1 = all H
     # rows of a k-mer share one 512-byte block (single fetch per k-mer);
     # 2 = split-lane blocked (hash h confined to its own lane group, the
-    # sorted-stream kernel's layout). Not bit-compatible with the
+    # sorted-stream kernel's layout); 3 = value-addressed split-lane
+    # (block monotone in the k-mer value + fmix64 offsets — sorted query
+    # batches stream the matrix in order). Not bit-compatible with the
     # reference's hash placement — see ops/blocked.py.
 
     @property

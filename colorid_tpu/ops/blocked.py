@@ -18,6 +18,25 @@ The false-positive rate matches a classic blocked Bloom filter: marginally
 higher than independent rows at equal size (per-block load variance); the
 reporting pipelines keep using the reference's false_prob formula as the
 significance approximation.
+
+Version 3 ("sorted" / value-addressed, k <= 32) goes one step further: the
+block address is a MONOTONE function of the canonical k-mer's 2-bit value
+(a Lemire scaling map of the 62-bit value onto [0, n_blocks)), and the H
+in-block offsets come from one murmur3 fmix64 finalizer instead of H
+seeded XXH3 calls:
+
+    v        = 2-bit canonical value (2k bits)
+    block    = (v << (64 - 2k)) * n_blocks >> 64      -- monotone in v
+    m        = fmix64(v)
+    off_h    = h * grp + ((m >> (g_bits * h)) & (grp - 1))   (split-lane)
+
+Monotone addressing means a batch sorted by k-mer value (which the device
+extraction pipeline already produces for counting, ops/extract.py) is
+ALSO sorted by block — the sorted-stream Pallas kernel gets perfect
+window locality with no second sort — and the offset hash is ~20 VPU ops
+instead of ~2000. Canonical genome k-mers are near-uniform in value space,
+so block loads stay Poisson like a hashed placement; this is a quality
+trade documented for an already reference-incompatible opt-in format.
 """
 
 from __future__ import annotations
@@ -42,6 +61,63 @@ def v2_supported(wpad: int, num_hash: int) -> bool:
         and (num_hash & (num_hash - 1)) == 0
         and num_hash <= rpb
     )
+
+
+def v3_supported(wpad: int, num_hash: int, k: int) -> bool:
+    """Value-addressed placement additionally needs the 2-bit value to fit
+    one u64 (k <= 32; the same envelope as device hashing)."""
+    return v2_supported(wpad, num_hash) and 4 <= k <= 32
+
+
+_FMIX_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def fmix64(v: np.ndarray) -> np.ndarray:
+    """murmur3 64-bit finalizer (numpy uint64, vectorized)."""
+    v = v.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        v ^= v >> np.uint64(33)
+        v *= _FMIX_C1
+        v ^= v >> np.uint64(33)
+        v *= _FMIX_C2
+        v ^= v >> np.uint64(33)
+    return v
+
+
+def v3_block_offsets(
+    vals: np.ndarray, k: int, num_hash: int, bloom_size: int, rpb: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(block [N], offs [N, H]) of the v3 placement for u64 2-bit values."""
+    n_blocks = np.uint64(bloom_size // rpb)
+    grp = rpb // num_hash
+    g_bits = grp.bit_length() - 1
+    x = vals.astype(np.uint64) << np.uint64(64 - 2 * k)
+    # (x * n_blocks) >> 64 without 128-bit ints: split x into 32-bit halves
+    x_hi = x >> np.uint64(32)
+    x_lo = x & np.uint64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        mid = (x_lo * n_blocks) >> np.uint64(32)
+        block = (x_hi * n_blocks + mid) >> np.uint64(32)
+    m = fmix64(vals)
+    offs = np.empty((vals.shape[0], num_hash), dtype=np.int64)
+    for h in range(num_hash):
+        bits = (m >> np.uint64(g_bits * h)) & np.uint64(grp - 1)
+        offs[:, h] = (h * grp + bits).astype(np.int64)
+    return block.astype(np.int64), offs
+
+
+def pack_keys_u64(keys: np.ndarray) -> np.ndarray:
+    """ASCII canonical k-mer rows [N, k] -> u64 2-bit values [N]."""
+    code = np.zeros(256, dtype=np.uint8)
+    code[ord("C")] = 1
+    code[ord("G")] = 2
+    code[ord("T")] = 3
+    c = code[keys]
+    val = np.zeros(keys.shape[0], dtype=np.uint64)
+    for i in range(keys.shape[1]):
+        val = (val << np.uint64(2)) | c[:, i].astype(np.uint64)
+    return val
 
 
 def _raw_hashes(keys: np.ndarray, num_hash: int) -> np.ndarray:
@@ -69,8 +145,16 @@ def blocked_rows_host(
     grp = rpb // H rows — off_h = h*grp + (h_h % grp) — so the query kernel
     can extract all H words with one fixed matrix contraction (a split-block
     Bloom filter; marginally different FP correlation than v1, same size).
+    version 3 (value-addressed split-lane): block monotone in the k-mer
+    value, offsets from fmix64 — see module docstring.
     """
     n = keys.shape[0]
+    if version == 3:
+        vals = pack_keys_u64(keys)
+        block, offs = v3_block_offsets(
+            vals, keys.shape[1], num_hash, bloom_size, rpb
+        )
+        return block[:, None] * np.int64(rpb) + offs
     h = _raw_hashes(keys, num_hash)
     nb = np.uint64(bloom_size // rpb)
     rpb64 = np.uint64(rpb)

@@ -1,0 +1,108 @@
+"""Fused reads→results search for value-addressed (v3) blocked indexes.
+
+One jitted device call covers the whole query pipeline the reference runs
+host-side plus its search loop (batch_search_pe.rs:28-93): 2-bit packed
+reads stream in, canonical k-mer windows come out of the packed words,
+ONE sort by k-mer value groups duplicates for exact counting (clean_map's
+strictly-greater filter, kmer.rs:826-837) AND — because the v3 layout's
+block address is monotone in the k-mer value (ops/blocked.py) — leaves the
+probe stream in matrix-block order for the sorted-stream Pallas kernel
+(ops/stream_query.py). No compaction scatters, no host round-trip between
+counting and querying: the only D2H is the final O(colors) accumulator
+fetch plus two scalars (n_unique, n_dropped).
+
+Compared to the unfused path (ops/extract.py extract_count -> n_unique
+sync -> query_accumulate_hash_scan_exact), this removes the [N, 2]
+compaction scatter (~4 s for 48M windows on v5e — the round-2 bench
+bottleneck), the mid-pipeline sync, and the per-probe XXH3 (v3 uses one
+fmix64), and replaces the per-probe one-hot block gather with the
+2-tile-window MXU kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .extract import _unpack_codes, _window_limbs
+from .hash_jax import _v3_blkoff
+from .stream_query import PC, _stream_core, pack_offsets
+
+U32 = jnp.uint32
+SENT = U32(0xFFFFFFFF)
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2, 3),
+    static_argnames=(
+        "k", "L", "filter_t", "d", "wpad", "num_hash", "bloom_size", "rpb",
+        "n_colors",
+    ),
+)
+def fused_search_reads(
+    stats: jnp.ndarray,
+    hist: jnp.ndarray,
+    over_col: jnp.ndarray,
+    over_freq: jnp.ndarray,
+    blocks2: jnp.ndarray,  # uint32 [Rb, 128] packed matrix
+    blocks_bp: jnp.ndarray,  # int8 [Rb, 512] byte planes
+    reads_packed: jnp.ndarray,  # uint32 [R, ceil(L/16)] 2-bit read words
+    lens: jnp.ndarray,  # int32 [R]
+    *,
+    k: int,
+    L: int,
+    filter_t: int,
+    d: int,
+    wpad: int,
+    num_hash: int,
+    bloom_size: int,
+    rpb: int,
+    n_colors: int,
+):
+    """Same donated stats/hist/overflow contract as stream_accumulate_hash,
+    in exact mode (overflow slots record the frequency itself). Returns
+    (stats, hist, over_col, over_freq, n_dropped, n_unique)."""
+    R = reads_packed.shape[0]
+    NW = L - k + 1
+    if NW <= 0:
+        raise ValueError("L < k")
+    codes = _unpack_codes(reads_packed, L)
+    lo, hi = _window_limbs(codes, k, NW)
+    w_idx = jnp.arange(NW, dtype=jnp.int32)[None, :]
+    valid = w_idx + k <= lens[:, None]
+    if d > 1:
+        valid = valid & (w_idx % d == 0)
+    lo = jnp.where(valid, lo, SENT).reshape(-1)
+    hi = jnp.where(valid, hi, SENT).reshape(-1)
+    N = R * NW
+    pad = (-N) % PC
+    if pad:
+        lo = jnp.concatenate([lo, jnp.full(pad, SENT)])
+        hi = jnp.concatenate([hi, jnp.full(pad, SENT)])
+    P = N + pad
+    # ONE sort: k-mer-value order == block order (v3 monotone addressing)
+    s_hi, s_lo = jax.lax.sort((hi, lo), num_keys=2)
+    iota = jnp.arange(P, dtype=jnp.int32)
+    new = (iota == 0) | (s_hi != jnp.roll(s_hi, 1)) | (s_lo != jnp.roll(s_lo, 1))
+    starts = jnp.where(new, iota, np.int32(P))
+    suffix_min = jax.lax.cummin(starts, axis=0, reverse=True)
+    next_start = jnp.concatenate(
+        [suffix_min[1:], jnp.full((1,), P, dtype=jnp.int32)]
+    )
+    count = next_start - iota
+    keep = new & ~((s_hi == SENT) & (s_lo == SENT)) & (count > filter_t)
+    n_unique = keep.sum().astype(jnp.int32)
+    qc = jnp.where(keep, count, 0)
+
+    blk, offs = _v3_blkoff(s_lo, s_hi, k, num_hash, bloom_size, rpb)
+    offp = pack_offsets(offs)
+    stats, hist, over_col, over_freq, n_drop = _stream_core(
+        stats, hist, over_col, over_freq, blocks2, blocks_bp,
+        blk, offp, qc, qc,  # exact mode: overflow payload = the frequency
+        wpad=wpad, num_hash=num_hash, rpb=rpb, n_colors=n_colors,
+    )
+    return stats, hist, over_col, over_freq, n_drop, n_unique

@@ -367,6 +367,43 @@ def _mod_barrett(h, m: int):
     return r_lo
 
 
+# -- v3 (value-addressed) blocked placement ----------------------------------
+
+_FMIX_C1 = 0xFF51AFD7ED558CCD
+_FMIX_C2 = 0xC4CEB9FE1A85EC53
+
+
+def _fmix64_device(v):
+    """murmur3 fmix64 over (lo, hi) uint32 limb pairs (ops/blocked.py
+    fmix64's device twin; ~20 VPU ops vs ~2000 for seeded XXH3)."""
+    v = _xor64(v, _shr64(v, 33))
+    v = _mul64_fold_low(v, _c(_FMIX_C1))
+    v = _xor64(v, _shr64(v, 33))
+    v = _mul64_fold_low(v, _c(_FMIX_C2))
+    v = _xor64(v, _shr64(v, 33))
+    return v
+
+
+def _v3_blkoff(lo, hi, k: int, num_hash: int, bloom_size: int, rpb: int):
+    """Blocked-v3 placement from 2-bit packed k-mers, on device: block int32
+    [N] (MONOTONE in the (hi, lo) value) + per-hash in-block offsets int32
+    [N, H]. Twin of ops/blocked.py::v3_block_offsets."""
+    n_blocks = bloom_size // rpb
+    grp = rpb // num_hash
+    g_bits = grp.bit_length() - 1
+    x = _shl64((lo, hi), 64 - 2 * k)
+    _, _, w2, _ = _mul64_full(x, _c(n_blocks))  # (x * nb) >> 64 < nb < 2^31
+    block = w2.astype(jnp.int32)
+    m = _fmix64_device((lo, hi))
+    gm = U32(grp - 1)
+    offs = [
+        (np.int32(h * grp)
+         + (_shr64(m, g_bits * h)[0] & gm).astype(jnp.int32))
+        for h in range(num_hash)
+    ]
+    return block, offs
+
+
 @partial(jax.jit, static_argnames=("k", "num_hash", "bloom_size"))
 def bloom_rows_device(
     packed: jnp.ndarray, *, k: int, num_hash: int, bloom_size: int

@@ -195,16 +195,26 @@ def query_batch(blocks2: jnp.ndarray, rows: jnp.ndarray, mask: jnp.ndarray, *, w
     return counts, uniq_color, valid, and_all, all_valid
 
 
-def _device_blkoff(limbs, k: int, num_hash: int, bloom_size: int, rpb: int,
-                   v2: bool = False):
-    """Blocked placement (ops/blocked.py): block index [N] and per-hash
-    in-block row offsets [N, H] from on-device XXH3."""
-    from .hash_jax import _mod_barrett, _xxh3_device
+def _device_blkoff(p_lo, p_hi, k: int, num_hash: int, bloom_size: int,
+                   rpb: int, version: int = 1):
+    """Blocked placement (ops/blocked.py) from 2-bit packed k-mers: block
+    index [N] and per-hash in-block row offsets [N, H]. Versions 1/2 hash
+    with on-device XXH3 over the ASCII byte stream; version 3 is
+    value-addressed (monotone Lemire block + fmix64 offsets, no XXH3)."""
+    from .hash_jax import (
+        _limbs_from_packed,
+        _mod_barrett,
+        _v3_blkoff,
+        _xxh3_device,
+    )
 
+    if version == 3:
+        return _v3_blkoff(p_lo, p_hi, k, num_hash, bloom_size, rpb)
+    limbs = _limbs_from_packed(p_lo, p_hi, k)
     hashes = [_xxh3_device(limbs, k, seed) for seed in range(num_hash)]
     n_blocks = bloom_size // rpb
     block = _mod_barrett(hashes[0], n_blocks).astype(jnp.int32)
-    if v2:
+    if version == 2:
         grp = rpb // num_hash
         mask_grp = jnp.uint32(grp - 1)
         offs = [(hashes[0][1] & mask_grp).astype(jnp.int32)]
@@ -218,14 +228,15 @@ def _device_blkoff(limbs, k: int, num_hash: int, bloom_size: int, rpb: int,
     return block, offs
 
 
-def _device_rows(limbs, k: int, num_hash: int, bloom_size: int, rpb: int,
-                 v2: bool = False):
-    """Bloom rows from on-device XXH3: independent rows (rpb=0) or the
-    blocked placement of ops/blocked.py (rpb>0, power of two; v2 = the
-    split-lane placement)."""
-    from .hash_jax import _mod_barrett, _xxh3_device
+def _device_rows(p_lo, p_hi, k: int, num_hash: int, bloom_size: int,
+                 rpb: int, version: int = 1):
+    """Bloom rows from 2-bit packed k-mers on device: independent XXH3 rows
+    (rpb=0) or the blocked placement of ops/blocked.py (rpb>0, power of
+    two; version as in blocked_rows_host)."""
+    from .hash_jax import _limbs_from_packed, _mod_barrett, _xxh3_device
 
     if rpb == 0:
+        limbs = _limbs_from_packed(p_lo, p_hi, k)
         hashes = [_xxh3_device(limbs, k, seed) for seed in range(num_hash)]
         return jnp.stack(
             [
@@ -234,7 +245,8 @@ def _device_rows(limbs, k: int, num_hash: int, bloom_size: int, rpb: int,
             ],
             axis=1,
         )
-    block, offs = _device_blkoff(limbs, k, num_hash, bloom_size, rpb, v2)
+    block, offs = _device_blkoff(p_lo, p_hi, k, num_hash, bloom_size, rpb,
+                                 version)
     base = block * np.int32(rpb)
     return jnp.stack([base + o for o in offs], axis=1)
 
@@ -394,8 +406,6 @@ def query_accumulate_hash_scan(
     """Fully fused streaming query: device-side XXH3 (ops/hash_jax.py) +
     gather/AND/count accumulation, one dispatch per segment. The host ships
     only 10 bytes per k-mer (8B packed k-mer + 2B clipped frequency)."""
-    from .hash_jax import _limbs_from_packed, _mod_barrett, _xxh3_device
-
     n = packed.shape[0]
     n_chunks = n // chunk
     p_c = packed.reshape(n_chunks, chunk, 2)
@@ -405,8 +415,8 @@ def query_accumulate_hash_scan(
     def step(carry, xs):
         stats, hist, over_col, over_freq = carry
         p, q, b = xs
-        limbs = _limbs_from_packed(p[:, 0], p[:, 1], k)
-        rows = _device_rows(limbs, k, num_hash, bloom_size, rpb, bv == 2)
+        rows = _device_rows(p[:, 0], p[:, 1], k, num_hash, bloom_size, rpb,
+                            bv)
         q32 = q.astype(jnp.int32)
         mask = q32 > 0
         stats, hist, over_col, over_freq = _accumulate_one(
@@ -457,8 +467,8 @@ def query_accumulate_hash_scan_exact(
     def step(carry, xs):
         stats, hist, over_col, over_freq = carry
         p, q = xs
-        limbs = _limbs_from_packed_lazy(p, k)
-        rows = _device_rows(limbs, k, num_hash, bloom_size, rpb, bv == 2)
+        rows = _device_rows(p[:, 0], p[:, 1], k, num_hash, bloom_size, rpb,
+                            bv)
         mask = q > 0
         stats, hist, over_col, over_freq = _accumulate_one(
             stats, hist, over_col, over_freq, blocks2, rows, mask, q, wpad,
@@ -470,12 +480,6 @@ def query_accumulate_hash_scan_exact(
         step, (stats, hist, over_col, over_freq), (p_c, qc_c)
     )
     return stats, hist, over_col, over_freq
-
-
-def _limbs_from_packed_lazy(p, k):
-    from .hash_jax import _limbs_from_packed
-
-    return _limbs_from_packed(p[:, 0], p[:, 1], k)
 
 
 PAD_POS = np.int32(2**30)  # kmer_pos for padding slots: never counted
@@ -642,8 +646,8 @@ def query_readid_hash_batch(
     (packed key + int16 seg/pos) instead of 24B."""
     from .hash_jax import _limbs_from_packed
 
-    limbs = _limbs_from_packed(packed[:, 0], packed[:, 1], k)
-    rows = _device_rows(limbs, k, num_hash, bloom_size, rpb, bv == 2)
+    rows = _device_rows(packed[:, 0], packed[:, 1], k, num_hash, bloom_size,
+                        rpb, bv)
     seg_ids = seg_ids16.astype(jnp.int32)
     p16 = kmer_pos16.astype(jnp.int32)
     kmer_pos = jnp.where(p16 < 0, jnp.int32(PAD_POS), p16)

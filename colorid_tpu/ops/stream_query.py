@@ -257,7 +257,7 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
     jax.jit,
     donate_argnums=(0, 1, 2, 3),
     static_argnames=("wpad", "k", "num_hash", "bloom_size", "rpb",
-                     "n_colors"),
+                     "n_colors", "bv"),
 )
 def stream_accumulate_hash(
     stats: jnp.ndarray,
@@ -276,30 +276,53 @@ def stream_accumulate_hash(
     bloom_size: int,
     rpb: int,
     n_colors: int,
+    bv: int = 2,
 ):
-    """Drop-in replacement for query_accumulate_hash_scan on blocked-v2
+    """Drop-in replacement for query_accumulate_hash_scan on blocked-v2/v3
     indexes: same donated stats/hist/overflow contract, one device call per
     segment. An extra guard counter is returned separately (n_dropped) —
     nonzero means the segment must be re-run on the generic path
     (overflow/residual capacity exceeded; effectively never)."""
-    from .hash_jax import _limbs_from_packed
-
     P = packed.shape[0]
-    C = n_colors
-    cp = 32 if C < 32 else 128
-    n_tiles = blocks2.shape[0] // T
-
-    limbs = _limbs_from_packed(packed[:, 0], packed[:, 1], k)
-    blk, offs = _device_blkoff(limbs, k, num_hash, bloom_size, rpb, True)
-    offp = offs[0].astype(jnp.uint32)
-    for h in range(1, num_hash):
-        offp = offp | (offs[h].astype(jnp.uint32) << jnp.uint32(8 * h))
+    blk, offs = _device_blkoff(packed[:, 0], packed[:, 1], k, num_hash,
+                               bloom_size, rpb, bv)
+    offp = pack_offsets(offs)
     qc32 = qcounts.astype(jnp.int32)
     gidx = base0 + jnp.arange(P, dtype=jnp.int32)
 
     blk_s, off_s, qc_s, gidx_s = jax.lax.sort(
         (blk, offp, qc32, gidx), num_keys=1
     )
+    return _stream_core(
+        stats, hist, over_col, over_freq, blocks2, blocks_bp,
+        blk_s, off_s, qc_s, gidx_s,
+        wpad=wpad, num_hash=num_hash, rpb=rpb, n_colors=n_colors,
+    )
+
+
+def pack_offsets(offs: list) -> jnp.ndarray:
+    """Per-hash in-block offsets -> one uint32 with 8 bits per hash (the
+    stream kernel's off_ref encoding; rpb <= 128 so offsets fit 7 bits)."""
+    offp = offs[0].astype(jnp.uint32)
+    for h in range(1, len(offs)):
+        offp = offp | (offs[h].astype(jnp.uint32) << jnp.uint32(8 * h))
+    return offp
+
+
+def _stream_core(
+    stats, hist, over_col, over_freq, blocks2, blocks_bp,
+    blk_s, off_s, qc_s, gidx_s, *, wpad, num_hash, rpb, n_colors,
+):
+    """Shared sorted-probe body: probes already sorted by block index
+    (blk_s asc), with packed offsets, clipped frequencies (0 = padding) and
+    an overflow payload per probe (a global k-mer index, or the exact
+    frequency itself in exact mode). Runs the Pallas kernel over 2-tile
+    windows and merges the accumulators; returns (..., n_dropped)."""
+    P = blk_s.shape[0]
+    C = n_colors
+    cp = 32 if C < 32 else 128
+    n_tiles = blocks2.shape[0] // T
+
     n_chunks = P // PC
     firsts = blk_s.reshape(n_chunks, PC)[:, 0]
     tb = jnp.clip(firsts // T, 0, n_tiles - 2).astype(jnp.int32)

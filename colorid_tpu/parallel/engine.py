@@ -296,12 +296,12 @@ class ShardedQueryEngine:
         qs = jnp.reshape(qc, (nd, T))[:, :S].reshape(nd * S)
         if index.blocked:
             wpad_g = row_wpad(W)
-            rpb_place, v2 = 128 // wpad_g, int(index.blocked) == 2
+            rpb_place, bv = 128 // wpad_g, int(index.blocked)
         else:
-            rpb_place, v2 = 0, False
+            rpb_place, bv = 0, 1
         rows = sharded.hash_packed_datashard(
             ks, mesh=self.mesh, k=k, num_hash=index.num_hash,
-            bloom_size=index.bloom_size, rpb_place=rpb_place, v2=v2,
+            bloom_size=index.bloom_size, rpb_place=rpb_place, bv=bv,
         )
         mask = qs > 0
         if self.layout == "color":

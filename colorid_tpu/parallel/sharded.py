@@ -287,25 +287,24 @@ def extract_merge_datashard(reads, lens, *, mesh, k, L, filter_t, d=1):
     return f(reads, lens)
 
 
-def _hash_packed_body(k, num_hash, bloom_size, rpb_place, v2, keys2):
-    from ..ops.hash_jax import _limbs_from_packed
+def _hash_packed_body(k, num_hash, bloom_size, rpb_place, bv, keys2):
     from ..ops.query import _device_rows
 
-    limbs = _limbs_from_packed(keys2[:, 0], keys2[:, 1], k)
-    return _device_rows(limbs, k, num_hash, bloom_size, rpb_place, v2)
+    return _device_rows(keys2[:, 0], keys2[:, 1], k, num_hash, bloom_size,
+                        rpb_place, bv)
 
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "k", "num_hash", "bloom_size", "rpb_place", "v2"),
+    static_argnames=("mesh", "k", "num_hash", "bloom_size", "rpb_place", "bv"),
 )
 def hash_packed_datashard(
-    keys2, *, mesh, k, num_hash, bloom_size, rpb_place=0, v2=False
+    keys2, *, mesh, k, num_hash, bloom_size, rpb_place=0, bv=1
 ):
     """On-device XXH3 Bloom rows [N, H] for data-sharded packed k-mers
-    (rpb_place/v2 = the index's build-time blocked placement)."""
+    (rpb_place/bv = the index's build-time blocked placement)."""
     f = jax.shard_map(
-        partial(_hash_packed_body, k, num_hash, bloom_size, rpb_place, v2),
+        partial(_hash_packed_body, k, num_hash, bloom_size, rpb_place, bv),
         mesh=mesh,
         in_specs=(P("data", None),),
         out_specs=P("data", None),

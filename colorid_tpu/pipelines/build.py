@@ -179,14 +179,26 @@ def build_index(
     rpb = 0
     bver = 0
     if blocked:
-        from ..ops.blocked import pad_bloom_size, rows_per_block, v2_supported
+        from ..ops.blocked import (
+            pad_bloom_size,
+            rows_per_block,
+            v2_supported,
+            v3_supported,
+        )
 
         wpad = 1 << (max(W, 1) - 1).bit_length()
         rpb = rows_per_block(wpad)
         bloom_size = pad_bloom_size(bloom_size)
-        # split-lane (v2) placement whenever the hash count permits: the
-        # sorted-stream query kernel requires it (ops/stream_query.py)
-        bver = 2 if v2_supported(wpad, num_hash) else 1
+        # value-addressed split-lane (v3) whenever the key length and hash
+        # count permit (sorted probes hit the matrix in block order with no
+        # re-sort, ops/stream_query.py); v2 split-lane as the XXH3 fallback
+        key_len = m_size if m_size else k_size
+        if v3_supported(wpad, num_hash, key_len):
+            bver = 3
+        elif v2_supported(wpad, num_hash):
+            bver = 2
+        else:
+            bver = 1
     n_ref_kmers: dict[str, int] = {}
     row_lists: list[np.ndarray] = []
     matrix = None if device else np.zeros((bloom_size, W), dtype=np.uint32)

@@ -1,0 +1,156 @@
+"""Blocked-v3 (value-addressed) layout + fused reads pipeline.
+
+The v3 placement must agree between the host builder (ops/blocked.py) and
+the device query (ops/hash_jax.py), be monotone in the k-mer value, and the
+one-call fused pipeline (ops/fused_reads.py) must reproduce the generic
+extract->count->query path bit-exactly on the same index.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from colorid_tpu.ops.blocked import (
+    blocked_rows_host,
+    pack_keys_u64,
+    v3_supported,
+)
+
+REFS = "/root/reference/test_data/refs"
+
+
+def _keys(n, k, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(n, k))
+
+
+@pytest.mark.parametrize(
+    "k,H,bloom",
+    [(31, 4, 50_000_000), (21, 2, 30_000_128), (15, 1, 1_000_064),
+     (32, 4, 12_800), (4, 4, 6400)],
+)
+def test_v3_host_device_match(k, H, bloom):
+    import jax.numpy as jnp
+
+    from colorid_tpu.ops.hash_jax import pack_keys_host
+    from colorid_tpu.ops.query import _device_rows
+
+    assert v3_supported(1, H, k)
+    keys = _keys(500, k)
+    rows_h = blocked_rows_host(keys, H, bloom, 128, version=3)
+    pk = pack_keys_host(keys)
+    rows_d = np.asarray(
+        _device_rows(jnp.asarray(pk[:, 0]), jnp.asarray(pk[:, 1]), k, H,
+                     bloom, 128, 3)
+    )
+    assert (rows_h == rows_d).all()
+
+
+def test_v3_block_monotone_and_split_lane():
+    k, H, bloom, rpb = 31, 4, 50_000_000, 128
+    keys = _keys(5000, k, seed=1)
+    rows = blocked_rows_host(keys, H, bloom, rpb, version=3)
+    vals = pack_keys_u64(keys)
+    order = np.argsort(vals, kind="stable")
+    blk = rows[:, 0] // rpb
+    assert (np.diff(blk[order]) >= 0).all()  # monotone in value
+    grp = rpb // H
+    for h in range(H):
+        off = rows[:, h] % rpb
+        assert ((off >= h * grp) & (off < (h + 1) * grp)).all()
+
+
+def _phage_refs():
+    refs = {}
+    for f in sorted(os.listdir(REFS)):
+        if f.endswith(".fasta"):
+            refs[f[:-6]] = [os.path.join(REFS, f)]
+    return refs
+
+
+@pytest.fixture(scope="module")
+def v3_engine():
+    from colorid_tpu.engine import QueryEngine
+    from colorid_tpu.pipelines.build import build_index
+
+    idx = build_index(_phage_refs(), 750_000, 4, 27, verbose=False,
+                      blocked=True)
+    assert idx.blocked == 3
+    return QueryEngine(idx)
+
+
+def _genome_reads(R=3000, L=120, seed=3):
+    from colorid_tpu.core.fastx import read_fasta
+    from colorid_tpu.ops.extract import pack_reads
+
+    rng = np.random.default_rng(seed)
+    paths = [p[0] for p in _phage_refs().values()]
+    g = "".join(read_fasta(paths[0])).upper() + "".join(
+        read_fasta(paths[2])
+    ).upper()
+    starts = rng.integers(0, len(g) - L, R)
+    reads = np.frombuffer(g.encode(), dtype=np.uint8)[
+        starts[:, None] + np.arange(L)
+    ]
+    return pack_reads(reads), np.full(R, L, dtype=np.int32)
+
+
+def test_fused_matches_generic(v3_engine):
+    packed, lens = _genome_reads()
+    res_f, n_f = v3_engine.search_reads(packed, lens, k=27, L=120, filter_t=1)
+    v3_engine._stream = False
+    try:
+        res_g, n_g = v3_engine.search_reads(
+            packed, lens, k=27, L=120, filter_t=1
+        )
+    finally:
+        v3_engine._stream = True
+    assert n_f == n_g
+    assert (res_f.counts == res_g.counts).all()
+    assert res_f.all_valid == res_g.all_valid
+    assert (res_f.and_all == res_g.and_all).all()
+    assert res_f.freq_stats() == res_g.freq_stats()
+
+
+def test_fused_stride_and_short_reads(v3_engine):
+    packed, lens = _genome_reads(R=1200, L=120, seed=5)
+    lens = lens.copy()
+    lens[::3] = 60  # short reads: fewer valid windows
+    res_f, n_f = v3_engine.search_reads(
+        packed, lens, k=27, L=120, filter_t=0, d=3
+    )
+    v3_engine._stream = False
+    try:
+        res_g, n_g = v3_engine.search_reads(
+            packed, lens, k=27, L=120, filter_t=0, d=3
+        )
+    finally:
+        v3_engine._stream = True
+    assert n_f == n_g
+    assert (res_f.counts == res_g.counts).all()
+    assert res_f.freq_stats() == res_g.freq_stats()
+
+
+def test_v3_search_keys_stream_matches_generic(v3_engine):
+    """search_keys (per-k-mer shipping) on a v3 index: the sorted-stream
+    kernel path must agree with the generic gather."""
+    from colorid_tpu.ops.hash_jax import pack_keys_host
+
+    keys = _keys(200_000, 27, seed=7)
+    pk = pack_keys_host(keys)
+    qc = np.random.default_rng(8).integers(1, 300, keys.shape[0]).astype(
+        np.int32
+    )
+    os.environ["COLORID_STREAM"] = "force"
+    try:
+        res_s = v3_engine.search_keys(None, qcounts=qc, packed_all=pk, k=27)
+    finally:
+        del os.environ["COLORID_STREAM"]
+    v3_engine._stream = False
+    try:
+        res_g = v3_engine.search_keys(None, qcounts=qc, packed_all=pk, k=27)
+    finally:
+        v3_engine._stream = True
+    assert (res_s.counts == res_g.counts).all()
+    assert res_s.freq_stats() == res_g.freq_stats()
