@@ -482,10 +482,36 @@ class QueryEngine:
             wpad=self.wpad, num_hash=self.index.num_hash,
             bloom_size=self.index.bloom_size, rpb=self.rpb, n_colors=C,
         )
-        tail = np.asarray(jnp.stack([n_drop, n_u]))  # one D2H for both
-        if int(tail[0]) > 0:
+        # ONE D2H round trip for everything but the (rare) overflow list:
+        # the tunnel RTT is 100-500ms, so per-array fetches would dominate
+        W = self.index.words_per_row
+        host = np.asarray(
+            jnp.concatenate(
+                [stats, n_drop[None], n_u[None], hist.reshape(-1)]
+            )
+        )
+        sl = C + self.wpad + 2
+        st, hist_np = host[:sl], host[sl + 2 :].reshape(C, FREQ_CAP)
+        if int(host[sl]) > 0:  # n_drop: capacity exceeded, caller falls back
             return None
-        return self._collect(stats, hist, oc_buf, of_buf, capO), int(tail[1])
+        counts = st[:C].astype(np.int64)
+        and_all = st[C : C + W].astype(np.uint32)
+        all_valid = bool(st[C + self.wpad])
+        n_over = int(st[C + self.wpad + 1])
+        none = np.zeros(0, dtype=np.int32)
+        if n_over:
+            kp = min(_round_up(n_over, 1024), capO)
+            over_c = np.asarray(oc_buf[:kp])[:n_over]
+            over_f = np.asarray(of_buf[:kp])[:n_over].astype(np.int32)
+        else:
+            over_c = over_f = none
+        return (
+            SearchResult(
+                counts, all_valid, and_all, hist_np.astype(np.int64),
+                over_c, over_f,
+            ),
+            int(host[sl + 1]),
+        )
 
     # -- read classifier (read_id hot loop) ----------------------------------
 

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .query import FREQ_CAP, _accumulate_one, _device_blkoff
 
 T = 128  # matrix tile rows (512-byte blocks) per window half
-PC = 1024  # probes per grid step
+PC = 2048  # probes per grid step (v5e sweep: 2048 ~6% over 1024, 4096 flat)
 HIST_W = 256  # in-kernel uniq-hit frequency histogram width (<= FREQ_CAP)
 RES_CAP = 8192  # out-of-window probes re-run via the generic path
 OVER_CAP = 1 << 18  # uniq-hit frequency-overflow entries per segment

@@ -180,67 +180,174 @@ class ShardedQueryEngine:
         absent, -B two-phase, keys in set-iteration order), with reads
         partitioned across the data axis (the reference's rayon fan-out,
         read_id_mt_pe.rs:300-361) and the matrix sharded on the model axis."""
+        index = self.index
+        n_reads = len(keys_per_read)
+        if n_reads == 0:
+            return np.zeros((0, index.n_colors + 1), dtype=np.int32)
+        rows_parts, seg_parts, pos_parts = [], [], []
+        for i, keys in enumerate(keys_per_read):
+            kn = keys.shape[0]
+            if kn == 0:
+                continue
+            rows_parts.append(self._rows(keys))
+            seg_parts.append(np.full(kn, i, dtype=np.int32))
+            pos_parts.append(np.arange(kn, dtype=np.int32))
+        if not rows_parts:
+            return np.zeros((n_reads, index.n_colors + 1), dtype=np.int32)
+        return self.readid_counts_arrays(
+            np.concatenate(rows_parts),
+            np.concatenate(seg_parts),
+            np.concatenate(pos_parts),
+            n_reads,
+            start_sample,
+        )
+
+    def _partition_reads(self, per_kmer: np.ndarray, seg, pos, n_reads):
+        """Partition flattened per-k-mer arrays (seg sorted asc) into
+        contiguous read groups per data shard, padded to a common length.
+        Returns (stacked per_kmer [nd, Nl, ...], seg [nd, Nl] (re-based),
+        pos [nd, Nl] (PAD_POS padded), n_reads_l)."""
+        nd = self.mesh.shape["data"]
+        n_reads_l = -(-n_reads // nd)
+        seg = np.asarray(seg, dtype=np.int32)
+        pos = np.asarray(pos, dtype=np.int32)
+        bounds = np.searchsorted(
+            seg, np.arange(nd + 1, dtype=np.int64) * n_reads_l, "left"
+        )
+        Nl = _round_up(max(int((bounds[1:] - bounds[:-1]).max()), 1), 8)
+        pk = np.zeros((nd, Nl) + per_kmer.shape[1:], dtype=per_kmer.dtype)
+        sg = np.zeros((nd, Nl), dtype=np.int32)
+        ps = np.full((nd, Nl), PAD_POS, dtype=np.int32)
+        for s in range(nd):
+            lo, hi = bounds[s], bounds[s + 1]
+            n = hi - lo
+            if n == 0:
+                continue
+            pk[s, :n] = per_kmer[lo:hi]
+            sg[s, :n] = seg[lo:hi] - np.int32(s * n_reads_l)
+            ps[s, :n] = pos[lo:hi]
+        return pk, sg, ps, n_reads_l
+
+    def readid_counts_arrays(
+        self, rows: np.ndarray, seg, pos, n_reads: int, start_sample: int
+    ) -> np.ndarray:
+        """QueryEngine.readid_counts_arrays on the mesh: prepared flattened
+        row-index arrays (seg sorted asc), reads over the data axis."""
         import jax.numpy as jnp
 
         index = self.index
         C = index.n_colors
-        n_reads = len(keys_per_read)
         out = np.zeros((n_reads, C + 1), dtype=np.int32)
-        if n_reads == 0:
-            return out
-        nd = self.mesh.shape["data"]
-        n_reads_l = -(-n_reads // nd)
-        rows_r = [self._rows(k) if k.shape[0] else
-                  np.zeros((0, index.num_hash), np.int32)
-                  for k in keys_per_read]
-        # per data shard: flatten its reads' k-mers; pad to a common length
-        per_shard = []
-        for s in range(nd):
-            lo, hi = s * n_reads_l, min((s + 1) * n_reads_l, n_reads)
-            rr, ss, pp = [], [], []
-            for i in range(lo, hi):
-                kn = rows_r[i].shape[0]
-                if kn == 0:
-                    continue
-                rr.append(rows_r[i])
-                ss.append(np.full(kn, i - lo, dtype=np.int32))
-                pp.append(np.arange(kn, dtype=np.int32))
-            if rr:
-                per_shard.append(
-                    (np.concatenate(rr), np.concatenate(ss), np.concatenate(pp))
-                )
-            else:
-                per_shard.append(
-                    (np.zeros((0, index.num_hash), np.int32),
-                     np.zeros(0, np.int32), np.zeros(0, np.int32))
-                )
-        Nl = _round_up(max(max(p[0].shape[0] for p in per_shard), 1), 8)
-        rows = np.zeros((nd, Nl, index.num_hash), dtype=np.int32)
-        seg = np.zeros((nd, Nl), dtype=np.int32)
-        pos = np.full((nd, Nl), PAD_POS, dtype=np.int32)
-        for s, (rr, ss, pp) in enumerate(per_shard):
-            n = rr.shape[0]
-            rows[s, :n] = rr
-            seg[s, :n] = ss
-            pos[s, :n] = pp
+        rows3, seg2, pos2, n_reads_l = self._partition_reads(
+            rows.astype(np.int32, copy=False), seg, pos, n_reads
+        )
         if self.layout == "color":
             rep, noh = sharded.readid_batch_colorshard(
-                self.mat, jnp.asarray(rows), jnp.asarray(seg),
-                jnp.asarray(pos), mesh=self.mesh, wpad=self.wpad,
+                self.mat, jnp.asarray(rows3), jnp.asarray(seg2),
+                jnp.asarray(pos2), mesh=self.mesh, wpad=self.wpad,
                 Wl=self.Wl, start_sample=start_sample, n_reads_l=n_reads_l,
                 rpb=self.rpb,
             )
         else:
             rep, noh = sharded.readid_batch_rowshard(
-                self.mat, jnp.asarray(rows), jnp.asarray(seg),
-                jnp.asarray(pos), mesh=self.mesh, wpad=self.wpad,
+                self.mat, jnp.asarray(rows3), jnp.asarray(seg2),
+                jnp.asarray(pos2), mesh=self.mesh, wpad=self.wpad,
                 Rl=self.Rl, W=index.words_per_row,
                 start_sample=start_sample, n_reads_l=n_reads_l, rpb=self.rpb,
             )
-        rep = np.asarray(rep)
-        noh = np.asarray(noh)
-        out[:, :C] = rep[:n_reads, :C]
-        out[:, C] = noh[:n_reads]
+        out[:, :C] = np.asarray(rep)[:n_reads, :C]
+        out[:, C] = np.asarray(noh)[:n_reads]
+        return out
+
+    def _placement(self):
+        """(rpb_place, bv) of the index's build-time hash placement (vs
+        self.rpb, the shard-local gather grouping)."""
+        index = self.index
+        if index.blocked:
+            return 128 // row_wpad(index.words_per_row), int(index.blocked)
+        return 0, 1
+
+    def readid_counts_packed(
+        self, packed: np.ndarray, seg, pos, n_reads: int, start_sample: int,
+        k: int,
+    ) -> np.ndarray:
+        """QueryEngine.readid_counts_packed on the mesh (2-bit packed keys
+        hashed on device; 12B/k-mer host traffic)."""
+        import jax.numpy as jnp
+
+        index = self.index
+        C = index.n_colors
+        out = np.zeros((n_reads, C + 1), dtype=np.int32)
+        pk3, seg2, pos2, n_reads_l = self._partition_reads(
+            np.ascontiguousarray(packed, dtype=np.uint32), seg, pos, n_reads
+        )
+        rpb_place, bv = self._placement()
+        common = dict(
+            mesh=self.mesh, wpad=self.wpad, start_sample=start_sample,
+            n_reads_l=n_reads_l, rpb=self.rpb, k=k,
+            num_hash=index.num_hash, bloom_size=index.bloom_size,
+            rpb_place=rpb_place, bv=bv,
+        )
+        if self.layout == "color":
+            rep, noh = sharded.readid_batch_colorshard_packed(
+                self.mat, jnp.asarray(pk3), jnp.asarray(seg2),
+                jnp.asarray(pos2), Wl=self.Wl, **common,
+            )
+        else:
+            rep, noh = sharded.readid_batch_rowshard_packed(
+                self.mat, jnp.asarray(pk3), jnp.asarray(seg2),
+                jnp.asarray(pos2), Rl=self.Rl, W=index.words_per_row,
+                **common,
+            )
+        out[:, :C] = np.asarray(rep)[:n_reads, :C]
+        out[:, C] = np.asarray(noh)[:n_reads]
+        return out
+
+    def readid_firsthit(
+        self, keys_per_read: list[np.ndarray], start_sample: int
+    ) -> np.ndarray:
+        """QueryEngine.readid_firsthit on the mesh: first-hit position matrix
+        [B, C+1] (column C = first-absent position; 2**30 = never) for the
+        read_id tie-order fixup."""
+        import jax.numpy as jnp
+
+        index = self.index
+        C = index.n_colors
+        n_reads = len(keys_per_read)
+        BIG = 2**30
+        out = np.full((n_reads, C + 1), BIG, dtype=np.int32)
+        if n_reads == 0:
+            return out
+        rows_parts, seg_parts, pos_parts = [], [], []
+        for i, keys in enumerate(keys_per_read):
+            kn = keys.shape[0]
+            if kn == 0:
+                continue
+            rows_parts.append(self._rows(keys))
+            seg_parts.append(np.full(kn, i, dtype=np.int32))
+            pos_parts.append(np.arange(kn, dtype=np.int32))
+        if not rows_parts:
+            return out
+        rows3, seg2, pos2, n_reads_l = self._partition_reads(
+            np.concatenate(rows_parts).astype(np.int32, copy=False),
+            np.concatenate(seg_parts), np.concatenate(pos_parts), n_reads,
+        )
+        if self.layout == "color":
+            fh, fa = sharded.readid_firsthit_colorshard(
+                self.mat, jnp.asarray(rows3), jnp.asarray(seg2),
+                jnp.asarray(pos2), mesh=self.mesh, wpad=self.wpad,
+                Wl=self.Wl, start_sample=start_sample, n_reads_l=n_reads_l,
+                rpb=self.rpb,
+            )
+        else:
+            fh, fa = sharded.readid_firsthit_rowshard(
+                self.mat, jnp.asarray(rows3), jnp.asarray(seg2),
+                jnp.asarray(pos2), mesh=self.mesh, wpad=self.wpad,
+                Rl=self.Rl, W=index.words_per_row,
+                start_sample=start_sample, n_reads_l=n_reads_l, rpb=self.rpb,
+            )
+        out[:, :C] = np.asarray(fh)[:n_reads, :C]
+        out[:, C] = np.asarray(fa)[:n_reads]
         return out
 
     # -- sharded device extraction (search_reads) ------------------------------

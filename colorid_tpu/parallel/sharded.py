@@ -328,7 +328,14 @@ def _readid_color_body(
 
     mat: [1, nb, 128]; rows: [1, Nl, H]; seg/pos: [1, Nl] (seg relative to
     the shard's read base, pos = FnvHashSet iteration rank)."""
-    rows, seg, pos = rows[0], seg[0], pos[0]
+    return _readid_color_core(
+        wpad, Wl, start_sample, n_reads_l, rpb, mat, rows[0], seg[0], pos[0]
+    )
+
+
+def _readid_color_core(
+    wpad, Wl, start_sample, n_reads_l, rpb, mat, rows, seg, pos
+):
     g = _gather(mat[0], rows, wpad, rpb)[:, :, :Wl]
     present_l = (g != 0).any(axis=2)  # [Nl, H]
     present = (
@@ -397,7 +404,15 @@ def _readid_row_body(
     """read_id body on a ("data","row") mesh: partial ANDs all_gather over
     the row axis (like _rowshard_body), then the segment logic runs
     replicated per data shard."""
-    rows, seg, pos = rows[0], seg[0], pos[0]
+    return _readid_row_core(
+        wpad, Rl, W, start_sample, n_reads_l, rpb, mat, rows[0], seg[0],
+        pos[0],
+    )
+
+
+def _readid_row_core(
+    wpad, Rl, W, start_sample, n_reads_l, rpb, mat, rows, seg, pos
+):
     lo = jax.lax.axis_index("row") * Rl
     local = rows - lo
     owned = (local >= 0) & (local < Rl)
@@ -458,6 +473,223 @@ def readid_batch_rowshard(
     (report [nd*n_reads_l, W*32], no_hits [nd*n_reads_l])."""
     f = jax.shard_map(
         partial(_readid_row_body, wpad, Rl, W, start_sample, n_reads_l, rpb),
+        mesh=mesh,
+        in_specs=(
+            P("row", None, None),
+            P("data", None, None),
+            P("data", None),
+            P("data", None),
+        ),
+        out_specs=(P("data", None), P("data")),
+        check_vma=False,
+    )
+    return f(matrix, rows, seg, pos)
+
+# ---------------------------------------------------------------------------
+# sharded read classifier: packed (device-hash) and first-hit variants
+# ---------------------------------------------------------------------------
+
+
+def _rows_from_packed(keys2, k, num_hash, bloom_size, rpb_place, bv):
+    from ..ops.query import _device_rows
+
+    return _device_rows(
+        keys2[:, 0], keys2[:, 1], k, num_hash, bloom_size, rpb_place, bv
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "wpad", "Wl", "start_sample", "n_reads_l", "rpb",
+        "k", "num_hash", "bloom_size", "rpb_place", "bv",
+    ),
+)
+def readid_batch_colorshard_packed(
+    matrix, keys2, seg, pos, *, mesh, wpad, Wl, start_sample, n_reads_l,
+    rpb, k, num_hash, bloom_size, rpb_place, bv,
+):
+    """readid_batch_colorshard with on-device hashing from 2-bit packed
+    k-mers (engine.readid_counts_packed's 12B/k-mer contract on a mesh)."""
+
+    def body(mat, keys2, seg, pos):
+        rows = _rows_from_packed(
+            keys2[0], k, num_hash, bloom_size, rpb_place, bv
+        )
+        return _readid_color_core(
+            wpad, Wl, start_sample, n_reads_l, rpb, mat, rows, seg[0], pos[0]
+        )
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("color", None, None),
+            P("data", None, None),
+            P("data", None),
+            P("data", None),
+        ),
+        out_specs=(P("data", "color"), P("data")),
+        check_vma=False,
+    )
+    return f(matrix, keys2, seg, pos)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "wpad", "Rl", "W", "start_sample", "n_reads_l", "rpb",
+        "k", "num_hash", "bloom_size", "rpb_place", "bv",
+    ),
+)
+def readid_batch_rowshard_packed(
+    matrix, keys2, seg, pos, *, mesh, wpad, Rl, W, start_sample, n_reads_l,
+    rpb, k, num_hash, bloom_size, rpb_place, bv,
+):
+    def body(mat, keys2, seg, pos):
+        rows = _rows_from_packed(
+            keys2[0], k, num_hash, bloom_size, rpb_place, bv
+        )
+        return _readid_row_core(
+            wpad, Rl, W, start_sample, n_reads_l, rpb, mat, rows, seg[0],
+            pos[0],
+        )
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("row", None, None),
+            P("data", None, None),
+            P("data", None),
+            P("data", None),
+        ),
+        out_specs=(P("data", None), P("data")),
+        check_vma=False,
+    )
+    return f(matrix, keys2, seg, pos)
+
+
+def _readid_fh_color_core(wpad, Wl, start_sample, n_reads_l, rpb, mat, rows,
+                          seg, pos):
+    """First-hit position per (read, local color slice) + first-absent —
+    ops/query.py::query_readid_firsthit on a color shard. Presence (the
+    break) is global over color; first hits are per-color, hence local."""
+    g = _gather(mat[0], rows, wpad, rpb)[:, :, :Wl]
+    present_l = (g != 0).any(axis=2)
+    present = (
+        jax.lax.psum(present_l.astype(jnp.int32), "color") > 0
+    ).all(axis=1)
+    BIG = jnp.int32(2**30)
+    absent_pos = jnp.where(present, BIG, pos)
+    first_absent = (
+        jnp.full((n_reads_l,), BIG, dtype=jnp.int32).at[seg].min(absent_pos)
+    )
+    fa = first_absent[seg]
+    counted = present & (pos < fa)
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    bits = _unpack_bits(andw)[:, : Wl * 32]
+    ph1 = counted & (pos < start_sample) if start_sample > 0 else counted
+    pos_hit = jnp.where((bits > 0) & ph1[:, None], pos[:, None], BIG)
+    fh = (
+        jnp.full((n_reads_l, bits.shape[1]), BIG, dtype=jnp.int32)
+        .at[seg]
+        .min(pos_hit)
+    )
+    return fh, first_absent
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "wpad", "Wl", "start_sample", "n_reads_l", "rpb"),
+)
+def readid_firsthit_colorshard(
+    matrix, rows, seg, pos, *, mesh, wpad, Wl, start_sample, n_reads_l, rpb=0
+):
+    """query_readid_firsthit on a ("data","color") mesh: returns
+    (fh [nd*n_reads_l, n_color*Wl*32], first_absent [nd*n_reads_l])."""
+
+    def body(mat, rows, seg, pos):
+        return _readid_fh_color_core(
+            wpad, Wl, start_sample, n_reads_l, rpb, mat, rows[0], seg[0],
+            pos[0],
+        )
+
+    f = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("color", None, None),
+            P("data", None, None),
+            P("data", None),
+            P("data", None),
+        ),
+        out_specs=(P("data", "color"), P("data")),
+        check_vma=False,
+    )
+    return f(matrix, rows, seg, pos)
+
+
+def _readid_fh_row_core(wpad, Rl, W, start_sample, n_reads_l, rpb, mat, rows,
+                        seg, pos):
+    lo = jax.lax.axis_index("row") * Rl
+    local = rows - lo
+    owned = (local >= 0) & (local < Rl)
+    safe = jnp.clip(local, 0, Rl - 1)
+    g = _gather(mat[0], safe, wpad, rpb)[:, :, :W]
+    ones = jnp.uint32(0xFFFFFFFF)
+    g = jnp.where(owned[:, :, None], g, ones)
+    present_or_neutral = jnp.where(owned, (g != 0).any(axis=2), True)
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    ga = jax.lax.all_gather(andw, "row")
+    andw = jax.lax.reduce(ga, ones, jax.lax.bitwise_and, dimensions=(0,))
+    present = (
+        jax.lax.psum(present_or_neutral.astype(jnp.int32), "row")
+        == jax.lax.axis_size("row")
+    ).all(axis=1)
+    BIG = jnp.int32(2**30)
+    absent_pos = jnp.where(present, BIG, pos)
+    first_absent = (
+        jnp.full((n_reads_l,), BIG, dtype=jnp.int32).at[seg].min(absent_pos)
+    )
+    fa = first_absent[seg]
+    counted = present & (pos < fa)
+    bits = _unpack_bits(andw)[:, : W * 32]
+    ph1 = counted & (pos < start_sample) if start_sample > 0 else counted
+    pos_hit = jnp.where((bits > 0) & ph1[:, None], pos[:, None], BIG)
+    fh = (
+        jnp.full((n_reads_l, bits.shape[1]), BIG, dtype=jnp.int32)
+        .at[seg]
+        .min(pos_hit)
+    )
+    return fh, first_absent
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "wpad", "Rl", "W", "start_sample", "n_reads_l", "rpb",
+    ),
+)
+def readid_firsthit_rowshard(
+    matrix, rows, seg, pos, *, mesh, wpad, Rl, W, start_sample, n_reads_l,
+    rpb=0,
+):
+    """query_readid_firsthit on a ("data","row") mesh: returns
+    (fh [nd*n_reads_l, W*32], first_absent [nd*n_reads_l])."""
+
+    def body(mat, rows, seg, pos):
+        return _readid_fh_row_core(
+            wpad, Rl, W, start_sample, n_reads_l, rpb, mat, rows[0], seg[0],
+            pos[0],
+        )
+
+    f = jax.shard_map(
+        body,
         mesh=mesh,
         in_specs=(
             P("row", None, None),

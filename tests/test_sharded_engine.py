@@ -150,3 +150,50 @@ def test_sharded_blocked_fast_path(setup):
         assert got.freq_stats() == want.freq_stats()
         got_rid = eng.readid_counts(keysets, 3)
         np.testing.assert_array_equal(got_rid, want_rid)
+
+
+@pytest.mark.parametrize("layout,nd,nm", [("color", 2, 4), ("row", 2, 4)])
+def test_sharded_classify_batch_dropin(setup, layout, nd, nm):
+    """ShardedQueryEngine is a drop-in for pipelines.read_id.classify_batch:
+    the packed, arrays, and firsthit entry points all match QueryEngine,
+    including tied-top reads (the firsthit tie-order fixup)."""
+    if len(jax.devices()) < nd * nm:
+        pytest.skip("not enough devices")
+    index, _keys, _qc, _want = setup
+    from colorid_tpu.parallel import sharded
+    from colorid_tpu.pipelines.read_id import classify_batch
+
+    rng = np.random.default_rng(77)
+    g1 = "".join(read_fasta(f"{REFS}/Listeria_phage_B056.fasta"))
+    g2 = "".join(read_fasta(f"{REFS}/Listeria_phage_B021.fasta"))
+    batch = []
+    for i in range(64):
+        s = int(rng.integers(0, min(len(g1), len(g2)) - 150))
+        if i % 7 == 3:
+            read = "ACGT" * 5  # too_short
+        elif i % 7 == 5:
+            read = "".join("ACGT"[c] for c in rng.integers(0, 4, 150))
+        else:
+            read = (g1 if i % 2 else g2)[s : s + 150]
+        batch.append((f"r{i}", [to_bytes(read)]))
+    want = classify_batch(batch, QueryEngine(index), 1, 1e-3, 3)
+    mesh = sharded.make_mesh(nd, nm, layout)
+    eng = ShardedQueryEngine(index, mesh=mesh, layout=layout)
+    got = classify_batch(batch, eng, 1, 1e-3, 3)
+    assert got == want
+
+
+@pytest.mark.parametrize("layout", ["color", "row"])
+def test_sharded_readid_firsthit_matches(setup, layout):
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    index, _keys, _qc, _want = setup
+    from colorid_tpu.parallel import sharded
+
+    keysets = _read_keysets(index, n_reads=23)
+    for B in (0, 3):
+        want = QueryEngine(index).readid_firsthit(keysets, B)
+        mesh = sharded.make_mesh(2, 4, layout)
+        eng = ShardedQueryEngine(index, mesh=mesh, layout=layout)
+        got = eng.readid_firsthit(keysets, B)
+        np.testing.assert_array_equal(got, want)
