@@ -137,6 +137,7 @@ def _read_id(args: argparse.Namespace) -> None:
         b=args.batch,
         qual_offset=args.quality,
         start_sample=args.bitvector_sample,
+        threads=args.threads,
     )
 
 
@@ -159,6 +160,7 @@ def _batch_id(args: argparse.Namespace) -> None:
             b=args.batch,
             qual_offset=args.quality,
             start_sample=args.bitvector_sample,
+            threads=args.threads,
         )
 
 

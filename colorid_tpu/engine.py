@@ -597,6 +597,57 @@ class QueryEngine:
         out[:] = np.asarray(rep)[:n_reads]
         return out
 
+    def readid_firsthit_reads(
+        self,
+        mates_packed: np.ndarray,
+        mate_seg: np.ndarray,
+        lens: np.ndarray,
+        ranks: np.ndarray,
+        n_reads: int,
+        start_sample: int,
+        k: int,
+        L: int,
+    ) -> np.ndarray:
+        """readid_firsthit from 2-bit packed mates + the per-window rank
+        plane (no host k-mer work; the tie-fixup path for reads-path
+        groups). Same [B, C+1] contract as readid_firsthit."""
+        from .ops.query import query_readid_firsthit_reads
+
+        C = self.index.n_colors
+        M = mates_packed.shape[0]
+        out = np.full((n_reads, C + 1), 2**30, dtype=np.int32)
+        if M == 0:
+            return out
+        size = max(1 << (M - 1).bit_length(), 16)
+        mp = np.zeros((size, mates_packed.shape[1]), dtype=np.uint32)
+        mp[:M] = mates_packed
+        sg = np.full(size, -1, dtype=np.int16)
+        sg[:M] = np.asarray(mate_seg, dtype=np.int16)
+        ln = np.zeros(size, dtype=np.int32)
+        ln[:M] = lens
+        rk = np.full((size, ranks.shape[1]), -1, dtype=np.int16)
+        rk[:M] = ranks
+        n_pad = max(1 << (n_reads - 1).bit_length(), 16)
+        rep = query_readid_firsthit_reads(
+            self.blocks2,
+            jnp.asarray(mp),
+            jnp.asarray(sg),
+            jnp.asarray(ln),
+            jnp.asarray(rk),
+            num_reads=n_pad,
+            start_sample=start_sample,
+            num_colors=C,
+            wpad=self.wpad,
+            k=k,
+            L=L,
+            num_hash=self.index.num_hash,
+            bloom_size=self.index.bloom_size,
+            rpb=self.rpb,
+            bv=self.bv or 1,
+        )
+        out[:] = np.asarray(rep)[:n_reads]
+        return out
+
     def readid_counts_packed(
         self,
         packed: np.ndarray,  # uint32 [N, 2]
@@ -638,6 +689,66 @@ class QueryEngine:
                 num_colors=C,
                 wpad=self.wpad,
                 k=k,
+                num_hash=self.index.num_hash,
+                bloom_size=self.index.bloom_size,
+                rpb=self.rpb,
+                bv=self.bv or 1,
+            )
+            pending.append((r0, r1, report))
+        for r0, r1, report in pending:
+            out[r0:r1] = np.asarray(report)[: r1 - r0]
+        return out
+
+    def readid_counts_reads(
+        self,
+        mates_packed: np.ndarray,  # uint32 [M, ceil(L/16)]
+        mate_seg: np.ndarray,  # int16/int32 [M] read id per mate, sorted asc
+        lens: np.ndarray,  # int32 [M]
+        ranks: np.ndarray,  # int16 [M, L-k+1]
+        n_reads: int,
+        start_sample: int,
+        k: int,
+        L: int,
+    ) -> np.ndarray:
+        """readid counts with device-side window extraction: the host ships
+        2-bit packed mates + the per-window rank plane (~2.3B/window) instead
+        of 12B per unique k-mer. Same [B, C+1] contract as readid_counts."""
+        from .ops.query import query_readid_reads_batch
+
+        C = self.index.n_colors
+        out = np.zeros((n_reads, C + 1), dtype=np.int32)
+        READS = self._rid_reads
+        mate_seg = np.asarray(mate_seg, dtype=np.int32)
+        NW = L - k + 1
+        pending = []
+        for r0 in range(0, n_reads, READS):
+            r1 = min(r0 + READS, n_reads)
+            lo = np.searchsorted(mate_seg, r0, "left")
+            hi = np.searchsorted(mate_seg, r1, "left")
+            m = hi - lo
+            if m == 0:
+                continue
+            size = max(1 << (int(m) - 1).bit_length(), 2048)
+            mp = np.zeros((size, mates_packed.shape[1]), dtype=np.uint32)
+            mp[:m] = mates_packed[lo:hi]
+            sg = np.full(size, -1, dtype=np.int16)
+            sg[:m] = (mate_seg[lo:hi] - r0).astype(np.int16)
+            ln = np.zeros(size, dtype=np.int32)
+            ln[:m] = lens[lo:hi]
+            rk = np.full((size, NW), -1, dtype=np.int16)
+            rk[:m] = ranks[lo:hi]
+            report = query_readid_reads_batch(
+                self.blocks2,
+                jnp.asarray(mp),
+                jnp.asarray(sg),
+                jnp.asarray(ln),
+                jnp.asarray(rk),
+                num_reads=READS,
+                start_sample=start_sample,
+                num_colors=C,
+                wpad=self.wpad,
+                k=k,
+                L=L,
                 num_hash=self.index.num_hash,
                 bloom_size=self.index.bloom_size,
                 rpb=self.rpb,

@@ -114,6 +114,12 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int32,
         ]
+        lib.ct_read_rank_windows.restype = ctypes.c_int64
+        lib.ct_read_rank_windows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.ct_fnv_ranks.restype = None
         lib.ct_fnv_ranks.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
@@ -447,3 +453,38 @@ class FastqReadStream:
             self.close()
         except Exception:
             pass
+
+
+def read_rank_windows(
+    seqs_concat: np.ndarray,
+    seq_offs: np.ndarray,
+    read_seq_counts: np.ndarray,
+    k: int,
+    d: int,
+    nw_stride: int,
+    fnv_order: bool = True,
+):
+    """Per-window set ranks [n_mates, nw_stride] int16 for the
+    device-extraction read_id path (the device re-derives the k-mer windows
+    from 2-bit packed mates; the host ships only this rank plane). -1 marks
+    duplicate / skipped / padding windows. Returns (ranks, maplen [B]) or
+    None when the native path can't handle the batch (lowercase, oversized
+    sets, missing library)."""
+    lib = _load()
+    if lib is None or k > 32:
+        return None
+    seqs_concat = np.ascontiguousarray(seqs_concat, dtype=np.uint8)
+    seq_offs = np.ascontiguousarray(seq_offs, dtype=np.int64)
+    read_seq_counts = np.ascontiguousarray(read_seq_counts, dtype=np.int32)
+    n_reads = len(read_seq_counts)
+    n_mates = len(seq_offs) - 1
+    ranks = np.full((max(n_mates, 1), nw_stride), -1, dtype=np.int16)
+    maplen = np.zeros(max(n_reads, 1), dtype=np.int32)
+    got = lib.ct_read_rank_windows(
+        seqs_concat.ctypes.data, seq_offs.ctypes.data,
+        read_seq_counts.ctypes.data, n_reads, k, d, nw_stride,
+        1 if fnv_order else 0, ranks.ctypes.data, maplen.ctypes.data,
+    )
+    if got < 0:
+        return None
+    return ranks[:n_mates], maplen[:n_reads]

@@ -439,9 +439,9 @@ static inline uint64_t fnv1a64_bytes_str(const uint8_t* p, int64_t n) {
 struct Hashbrown {
     // Only what iteration order needs: control bytes (mirrored tail for
     // wrapped group loads), per-bucket insertion index + hash.
-    std::vector<uint8_t> ctrl;
-    std::vector<int32_t> ins;
-    std::vector<uint64_t> hsh;
+    std::vector<uint8_t> ctrl, ctrl2;
+    std::vector<int32_t> ins, ins2;
+    std::vector<uint64_t> hsh, hsh2;
     size_t buckets = 0, items = 0, growth_left = 0;
     static const int GROUP = 16;
 
@@ -490,19 +490,22 @@ struct Hashbrown {
     }
 
     void resize(size_t nb) {
-        std::vector<uint8_t> octrl;
-        std::vector<int32_t> oins;
-        std::vector<uint64_t> ohsh;
-        octrl.swap(ctrl);
-        oins.swap(ins);
-        ohsh.swap(hsh);
+        // ping-pong between persistent buffers: the growth sequence is
+        // layout-relevant (the last rehash fixes displacement), but the
+        // buffers themselves can be reused across reads without realloc
+        ctrl.swap(ctrl2);
+        ins.swap(ins2);
+        hsh.swap(hsh2);
         size_t ob = buckets;
         buckets = nb;
-        ctrl.assign(nb + GROUP, 0xff);
-        ins.assign(nb, -1);
-        hsh.assign(nb, 0);
+        if (ctrl.size() < nb + GROUP) {
+            ctrl.resize(nb + GROUP);
+            ins.resize(nb);
+            hsh.resize(nb);
+        }
+        std::fill_n(ctrl.begin(), nb + GROUP, (uint8_t)0xff);
         for (size_t i = 0; i < ob; i++) {  // RawIter: ascending buckets
-            if (!(octrl[i] & 0x80)) place(find_slot(ohsh[i]), ohsh[i], oins[i]);
+            if (!(ctrl2[i] & 0x80)) place(find_slot(hsh2[i]), hsh2[i], ins2[i]);
         }
         growth_left = mask_to_cap(nb - 1) - items;
     }
@@ -570,6 +573,7 @@ extern "C" int64_t ct_read_sets(
     std::vector<int32_t> set_used;
     std::vector<uint64_t> read_keys;
     std::vector<int32_t> rank_scratch;
+    int32_t gen = 0;
     Hashbrown hb;
     int64_t total = 0;
     int64_t seq_idx = 0;
@@ -577,8 +581,11 @@ extern "C" int64_t ct_read_sets(
     int width = m_size > 0 ? m_size : k;
     for (int64_t r = 0; r < n_reads; r++) {
         // small per-read open set
-        set_keys.assign(1024, 0);
-        set_used.assign(1024, 0);
+        if (set_keys.size() < 1024) {
+            set_keys.assign(1024, 0);
+            set_used.assign(1024, 0);
+        }
+        gen++;  // empties the set without touching memory
         uint64_t smask = 1023;
         int32_t pos = 0;
         int64_t read_start = total;
@@ -593,12 +600,12 @@ extern "C" int64_t ct_read_sets(
                 // probe
                 uint64_t p = splitmix64(key) & smask;
                 for (;;) {
-                    if (!set_used[p]) break;
+                    if (set_used[p] != gen) break;
                     if (set_keys[p] == key) return; // already in set
                     p = (p + 1) & smask;
                 }
                 // insert; grow if needed
-                set_used[p] = 1;
+                set_used[p] = gen;
                 set_keys[p] = key;
                 if ((uint64_t)pos * 10 > smask * 7) {
                     size_t ncap = (smask + 1) * 2;
@@ -606,11 +613,11 @@ extern "C" int64_t ct_read_sets(
                     std::vector<int32_t> nu(ncap, 0);
                     uint64_t nm = ncap - 1;
                     for (size_t i = 0; i <= smask; i++) {
-                        if (!set_used[i]) continue;
+                        if (set_used[i] != gen) continue;
                         uint64_t q = splitmix64(set_keys[i]) & nm;
-                        while (nu[q]) q = (q + 1) & nm;
+                        while (nu[q] == gen) q = (q + 1) & nm;
                         nk[q] = set_keys[i];
-                        nu[q] = 1;
+                        nu[q] = gen;
                     }
                     set_keys.swap(nk);
                     set_used.swap(nu);
@@ -675,13 +682,17 @@ extern "C" int64_t ct_read_sets_packed(
     std::vector<int32_t> set_used;
     std::vector<uint64_t> read_keys;
     std::vector<int32_t> rank_scratch;
+    int32_t gen = 0;
     Hashbrown hb;
     int width = m_size > 0 ? m_size : k;
     int64_t total = 0;
     int64_t seq_idx = 0;
     for (int64_t r = 0; r < n_reads; r++) {
-        set_keys.assign(1024, 0);
-        set_used.assign(1024, 0);
+        if (set_keys.size() < 1024) {
+            set_keys.assign(1024, 0);
+            set_used.assign(1024, 0);
+        }
+        gen++;  // empties the set without touching memory
         uint64_t smask = 1023;
         int32_t pos = 0;
         int64_t read_start = total;
@@ -695,11 +706,11 @@ extern "C" int64_t ct_read_sets_packed(
                 uint64_t key = (m_size > 0) ? window_minimizer(canon, other, k, m_size) : canon;
                 uint64_t p = splitmix64(key) & smask;
                 for (;;) {
-                    if (!set_used[p]) break;
+                    if (set_used[p] != gen) break;
                     if (set_keys[p] == key) return;
                     p = (p + 1) & smask;
                 }
-                set_used[p] = 1;
+                set_used[p] = gen;
                 set_keys[p] = key;
                 if ((uint64_t)pos * 10 > smask * 7) {
                     size_t ncap = (smask + 1) * 2;
@@ -707,11 +718,11 @@ extern "C" int64_t ct_read_sets_packed(
                     std::vector<int32_t> nu(ncap, 0);
                     uint64_t nm = ncap - 1;
                     for (size_t i = 0; i <= smask; i++) {
-                        if (!set_used[i]) continue;
+                        if (set_used[i] != gen) continue;
                         uint64_t q = splitmix64(set_keys[i]) & nm;
-                        while (nu[q]) q = (q + 1) & nm;
+                        while (nu[q] == gen) q = (q + 1) & nm;
                         nk[q] = set_keys[i];
-                        nu[q] = 1;
+                        nu[q] = gen;
                     }
                     set_keys.swap(nk);
                     set_used.swap(nu);
@@ -864,4 +875,88 @@ extern "C" int64_t rs_next_batch(void* h, int64_t max_reads,
         rs->have = false;
     }
     return n;
+}
+
+extern "C" int64_t ct_read_rank_windows(
+    const uint8_t* seqs, const int64_t* seq_offs,
+    const int32_t* read_seq_counts, int64_t n_reads, int32_t k, int32_t d,
+    int64_t nw_stride, int32_t fnv_order, int16_t* ranks_out,
+    int32_t* maplen_out) {
+    // Per-WINDOW set ranks for the device-extraction read_id path: the
+    // device re-derives every canonical k-mer window from the 2-bit packed
+    // mates (ops/query.py::query_readid_reads_batch), so the host only
+    // ships this rank plane. ranks_out[mate * nw_stride + w] = the window's
+    // k-mer's FnvHashSet iteration rank (fnv_order) or first-occurrence
+    // rank, IF window w is that k-mer's first occurrence in the read;
+    // duplicate / stride-skipped / N windows keep the caller's -1 fill
+    // (the kernel treats them as padding). maplen_out[r] = set size.
+    // Returns mates consumed, -2 on lowercase (caller -> exact path),
+    // -3 when a set exceeds int16 ranks.
+    std::vector<uint64_t> set_keys(1024, 0);
+    std::vector<int32_t> set_used(1024, 0);
+    std::vector<uint64_t> read_keys;
+    std::vector<int64_t> first_pos;
+    std::vector<int32_t> rank_scratch;
+    int32_t gen = 0;
+    Hashbrown hb;
+    int64_t seq_idx = 0;
+    for (int64_t r = 0; r < n_reads; r++) {
+        gen++;
+        uint64_t smask = 1023;
+        int32_t pos = 0;
+        read_keys.clear();
+        first_pos.clear();
+        for (int32_t s = 0; s < read_seq_counts[r]; s++, seq_idx++) {
+            const uint8_t* seq = seqs + seq_offs[seq_idx];
+            int64_t len = seq_offs[seq_idx + 1] - seq_offs[seq_idx];
+            if (len < k) continue;
+            if (has_lowercase_acgt(seq, len)) return -2;
+            int64_t base = seq_idx * nw_stride;
+            bool ok = scan_canonical(seq, len, k, d, [&](uint64_t key, uint64_t, int64_t w) {
+                uint64_t p = splitmix64(key) & smask;
+                for (;;) {
+                    if (set_used[p] != gen) break;
+                    if (set_keys[p] == key) return;  // duplicate: stays -1
+                    p = (p + 1) & smask;
+                }
+                set_used[p] = gen;
+                set_keys[p] = key;
+                if ((uint64_t)pos * 10 > smask * 7) {
+                    size_t ncap = (smask + 1) * 2;
+                    std::vector<uint64_t> nk(ncap, 0);
+                    std::vector<int32_t> nu(ncap, 0);
+                    uint64_t nm = ncap - 1;
+                    for (size_t i = 0; i <= smask; i++) {
+                        if (set_used[i] != gen) continue;
+                        uint64_t q = splitmix64(set_keys[i]) & nm;
+                        while (nu[q] == gen) q = (q + 1) & nm;
+                        nk[q] = set_keys[i];
+                        nu[q] = gen;
+                    }
+                    set_keys.swap(nk);
+                    set_used.swap(nu);
+                    smask = nm;
+                }
+                read_keys.push_back(key);
+                first_pos.push_back(base + w);
+                pos++;
+            });
+            if (!ok) return -2;
+        }
+        maplen_out[r] = pos;
+        if (pos > 32000) return -3;
+        if (fnv_order && !read_keys.empty()) {
+            hb.reset();
+            for (size_t i = 0; i < read_keys.size(); i++)
+                hb.insert(fnv1a64_packed(read_keys[i], k), (int32_t)i);
+            rank_scratch.assign(read_keys.size(), 0);
+            hb.ranks(rank_scratch.data());
+            for (size_t i = 0; i < read_keys.size(); i++)
+                ranks_out[first_pos[i]] = (int16_t)rank_scratch[i];
+        } else {
+            for (size_t i = 0; i < read_keys.size(); i++)
+                ranks_out[first_pos[i]] = (int16_t)i;
+        }
+    }
+    return seq_idx;
 }

@@ -214,3 +214,19 @@ def count_histogram(
         .at[jnp.where(keep, c, cap)]
         .add(1, mode="drop")
     )
+
+
+def pack_reads_any(seqs: np.ndarray) -> np.ndarray:
+    """pack_reads for pre-screened batches: bytes outside uppercase ACGT
+    pack as 'A' placeholders. Callers guarantee such windows are never
+    counted (the read_id reads path marks them -1 in the rank plane, so the
+    kernel treats them as padding — matching the reference's skip of
+    N-containing windows, kmer.rs:87-125)."""
+    R, L = seqs.shape
+    codes = _CODE[seqs]
+    codes = np.where(codes == 255, np.uint8(0), codes)
+    Lw = words_per_read(L)
+    cp = np.zeros((R, Lw * 16), dtype=np.uint32)
+    cp[:, :L] = codes
+    shifts = (2 * (15 - np.arange(16, dtype=np.uint32))).astype(np.uint32)
+    return (cp.reshape(R, Lw, 16) << shifts).sum(axis=2, dtype=np.uint32)

@@ -593,6 +593,17 @@ def query_readid_firsthit(
     first-absent position. 2**30 where never hit. Used by the read_id tie
     fixup to reconstruct kmer_poll_plus's stable-sort order for tied top
     hits (read_id_mt_pe.rs:195-196)."""
+    return _readid_firsthit_core(
+        blocks2, rows, seg_ids, kmer_pos,
+        num_reads=num_reads, start_sample=start_sample,
+        num_colors=num_colors, wpad=wpad, rpb=rpb,
+    )
+
+
+def _readid_firsthit_core(
+    blocks2, rows, seg_ids, kmer_pos, *, num_reads, start_sample,
+    num_colors, wpad, rpb=0,
+):
     andw, present_all = _and_present(blocks2, rows, wpad, rpb)
     valid = present_all
     bits = _unpack_bits(andw)[:, :num_colors]
@@ -666,3 +677,108 @@ def pad_rows(rows: np.ndarray, n_pad: int) -> np.ndarray:
     out = np.zeros((n_pad, rows.shape[1]), dtype=rows.dtype)
     out[: rows.shape[0]] = rows
     return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_reads", "start_sample", "num_colors", "wpad", "k", "L",
+        "num_hash", "bloom_size", "rpb", "bv",
+    ),
+)
+def query_readid_reads_batch(
+    blocks2: jnp.ndarray,
+    mates_packed: jnp.ndarray,  # uint32 [M, ceil(L/16)] 2-bit mate words
+    mate_seg16: jnp.ndarray,  # int16 [M] read id per mate (-1 = padding)
+    lens: jnp.ndarray,  # int32 [M] true mate lengths
+    ranks16: jnp.ndarray,  # int16 [M, L-k+1] per-window set rank / -1
+    *,
+    num_reads: int,
+    start_sample: int,
+    num_colors: int,
+    wpad: int,
+    k: int,
+    L: int,
+    num_hash: int,
+    bloom_size: int,
+    rpb: int = 0,
+    bv: int = 1,
+):
+    """query_readid_batch where the device re-derives every canonical k-mer
+    window from 2-bit packed mates (ops/extract.py machinery): the host
+    ships ~0.25 B per base plus a 2-byte rank plane per window instead of
+    12 B per unique k-mer (native ct_read_rank_windows computes the ranks —
+    the FnvHashSet iteration order the break/-B logic needs — and marks
+    duplicate/skipped windows -1, which become kernel padding here)."""
+    from .extract import _unpack_codes, _window_limbs
+
+    M = mates_packed.shape[0]
+    NW = L - k + 1
+    codes = _unpack_codes(mates_packed, L)
+    lo, hi = _window_limbs(codes, k, NW)  # [M, NW]
+    w_idx = jnp.arange(NW, dtype=jnp.int32)[None, :]
+    in_len = w_idx + k <= lens[:, None]
+    rk = ranks16.astype(jnp.int32)
+    live = in_len & (rk >= 0) & (mate_seg16 >= 0)[:, None]
+    pos = jnp.where(live, rk, jnp.int32(PAD_POS)).reshape(-1)
+    seg = jnp.maximum(mate_seg16.astype(jnp.int32), 0)
+    seg = jnp.broadcast_to(seg[:, None], (M, NW)).reshape(-1)
+    rows = _device_rows(
+        lo.reshape(-1), hi.reshape(-1), k, num_hash, bloom_size, rpb, bv
+    )
+    return _readid_core(
+        blocks2, rows, seg, pos,
+        num_reads=num_reads, start_sample=start_sample,
+        num_colors=num_colors, wpad=wpad, rpb=rpb,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_reads", "start_sample", "num_colors", "wpad", "k", "L",
+        "num_hash", "bloom_size", "rpb", "bv",
+    ),
+)
+def query_readid_firsthit_reads(
+    blocks2: jnp.ndarray,
+    mates_packed: jnp.ndarray,  # uint32 [M, ceil(L/16)]
+    mate_seg16: jnp.ndarray,  # int16 [M]; -1 = padding
+    lens: jnp.ndarray,  # int32 [M]
+    ranks16: jnp.ndarray,  # int16 [M, L-k+1]
+    *,
+    num_reads: int,
+    start_sample: int,
+    num_colors: int,
+    wpad: int,
+    k: int,
+    L: int,
+    num_hash: int,
+    bloom_size: int,
+    rpb: int = 0,
+    bv: int = 1,
+):
+    """query_readid_firsthit with device-side window extraction (the
+    reads-path twin of query_readid_reads_batch) — feeds the read_id
+    tie-order fixup without any host k-mer work."""
+    from .extract import _unpack_codes, _window_limbs
+
+    M = mates_packed.shape[0]
+    NW = L - k + 1
+    codes = _unpack_codes(mates_packed, L)
+    lo, hi = _window_limbs(codes, k, NW)
+    w_idx = jnp.arange(NW, dtype=jnp.int32)[None, :]
+    in_len = w_idx + k <= lens[:, None]
+    rk = ranks16.astype(jnp.int32)
+    live = in_len & (rk >= 0) & (mate_seg16 >= 0)[:, None]
+    pos = jnp.where(live, rk, jnp.int32(PAD_POS)).reshape(-1)
+    seg = jnp.maximum(mate_seg16.astype(jnp.int32), 0)
+    seg = jnp.broadcast_to(seg[:, None], (M, NW)).reshape(-1)
+    rows = _device_rows(
+        lo.reshape(-1), hi.reshape(-1), k, num_hash, bloom_size, rpb, bv
+    )
+    return _readid_firsthit_core(
+        blocks2, rows, seg, pos,
+        num_reads=num_reads, start_sample=start_sample,
+        num_colors=num_colors, wpad=wpad, rpb=rpb,
+    )

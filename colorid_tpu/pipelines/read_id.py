@@ -136,6 +136,50 @@ def _split_lowercase(batch, todo_idx):
     return clean, dirty
 
 
+def _prepare_reads(batch, todo_idx, k, d, fnv):
+    """Device-extraction fast path: 2-bit packed mates + the per-window set
+    rank plane (native ct_read_rank_windows). The device re-derives every
+    canonical k-mer window itself (ops/query.py::query_readid_reads_batch),
+    so the host link carries ~2.3 bytes per window instead of 12 bytes per
+    unique k-mer. Returns (mates_packed, mate_seg, lens, ranks, maplen, Lb)
+    or None (lowercase / oversized / no native lib -> older paths)."""
+    from .. import native
+    from ..ops.extract import pack_reads_any
+
+    seqs = []
+    nseqs = np.empty(len(todo_idx), dtype=np.int32)
+    for j, i in enumerate(todo_idx):
+        mates = batch[i][1]
+        nseqs[j] = len(mates)
+        seqs.extend(mates)
+    M = len(seqs)
+    if M == 0:
+        return None
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    Lmax = int(lens.max())
+    if Lmax < k or Lmax > 4096:
+        return None
+    Lb = max(64, -(-Lmax // 32) * 32)  # bucketed (bounded jit shape count)
+    offs = np.zeros(M + 1, dtype=np.int64)
+    offs[1:] = np.cumsum(lens)
+    concat = np.concatenate(seqs)
+    got = native.read_rank_windows(
+        concat, offs, nseqs, k, d, Lb - k + 1, fnv_order=fnv
+    )
+    if got is None:
+        return None
+    ranks, maplen = got
+    mb = np.full((M, Lb), ord("A"), dtype=np.uint8)
+    for idx in range(M):
+        mb[idx, : offs[idx + 1] - offs[idx]] = concat[offs[idx] : offs[idx + 1]]
+    seg = np.repeat(
+        np.arange(len(todo_idx), dtype=np.int16), nseqs
+    )
+    return (
+        pack_reads_any(mb), seg, lens.astype(np.int32), ranks, maplen, Lb,
+    )
+
+
 def _prepare_native(batch, todo_idx, index, d, packed_ok):
     """Flattened per-read k-mer arrays via the C++ fast path.
 
@@ -183,6 +227,7 @@ def classify_batch(
     d: int,
     fp_correct: float,
     start_sample: int,
+    threads: int = 1,
 ) -> list[Classification]:
     """Classify one batch of reads; returns 6-field rows for _reads.txt."""
     index = engine.index
@@ -230,29 +275,70 @@ def classify_batch(
     report_parts = []
     maplen_parts = []
     GROUP = 16384
-    for g0 in range(0, len(clean_idx), GROUP):
-        group = clean_idx[g0 : g0 + GROUP]
-        prepared = _prepare_native(batch, group, index, d, packed_ok)
-        if prepared is not None and prepared[0] == "packed":
-            _, packed, seg, pos, maplen = prepared
-            rep = engine.readid_counts_packed(
-                packed, seg, pos, len(group), start_sample, m or k
-            )
-        elif prepared is not None:
-            _, rows, seg, pos, maplen = prepared
-            rep = engine.readid_counts_arrays(
-                rows, seg, pos, len(group), start_sample
-            )
-        else:
-            keys_list = [
-                kmer_set(batch[i][1], k, d=d, minimizer=m) for i in group
-            ]
-            if fnv:
-                keys_list = [_fnv_order_keys(ks) for ks in keys_list]
-            maplen = [keys.shape[0] for keys in keys_list]
-            rep = engine.readid_counts(keys_list, start_sample)
-        report_parts.append(rep)
-        maplen_parts.append(np.asarray(maplen))
+    reads_path = (
+        packed_ok
+        and m == 0
+        and 4 <= k <= 32
+        and hasattr(engine, "readid_counts_reads")
+        and os.environ.get("COLORID_RID_READS", "1") != "0"
+    )
+    groups = [
+        clean_idx[g0 : g0 + GROUP]
+        for g0 in range(0, len(clean_idx), GROUP)
+    ]
+    pr_iter = None
+    if reads_path and threads > 1 and len(groups) > 1:
+        # prefetch group preparation (the C++ rank emulation releases the
+        # GIL) so it overlaps the previous group's device round trip — the
+        # reference's rayon pool (-t) mapped onto the prepare stage
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=min(threads, len(groups)))
+        futs = [
+            pool.submit(_prepare_reads, batch, g, k, d, fnv) for g in groups
+        ]
+        pr_iter = iter(futs)
+    try:
+        for group in groups:
+            if reads_path:
+                pr = (
+                    next(pr_iter).result()
+                    if pr_iter is not None
+                    else _prepare_reads(batch, group, k, d, fnv)
+                )
+                if pr is not None:
+                    mates, mseg, mlens, ranks, maplen, Lb = pr
+                    rep = engine.readid_counts_reads(
+                        mates, mseg, mlens, ranks, len(group), start_sample,
+                        k, Lb,
+                    )
+                    report_parts.append(rep)
+                    maplen_parts.append(np.asarray(maplen))
+                    continue
+            prepared = _prepare_native(batch, group, index, d, packed_ok)
+            if prepared is not None and prepared[0] == "packed":
+                _, packed, seg, pos, maplen = prepared
+                rep = engine.readid_counts_packed(
+                    packed, seg, pos, len(group), start_sample, m or k
+                )
+            elif prepared is not None:
+                _, rows, seg, pos, maplen = prepared
+                rep = engine.readid_counts_arrays(
+                    rows, seg, pos, len(group), start_sample
+                )
+            else:
+                keys_list = [
+                    kmer_set(batch[i][1], k, d=d, minimizer=m) for i in group
+                ]
+                if fnv:
+                    keys_list = [_fnv_order_keys(ks) for ks in keys_list]
+                maplen = [keys.shape[0] for keys in keys_list]
+                rep = engine.readid_counts(keys_list, start_sample)
+            report_parts.append(rep)
+            maplen_parts.append(np.asarray(maplen))
+    finally:
+        if pr_iter is not None:
+            pool.shutdown(wait=False)
     for g, (rep, ml) in enumerate(zip(report_parts, maplen_parts)):
         for j, i in enumerate(clean_idx[g * GROUP : g * GROUP + rep.shape[0]]):
             report_rows[i] = rep[j]
@@ -313,11 +399,31 @@ def _fix_tie_order(
     k, m = index.k_size, index.m_size
     colors = index.colors
     BIG = 2**30
-    keys_list = []
-    for j in tie_js:
-        keys = kmer_set(batch[todo_idx[j]][1], k, d=d, minimizer=m)
-        keys_list.append(_fnv_order_keys(keys))
-    fh = engine.readid_firsthit(keys_list, start_sample)
+    fh = None
+    if (
+        m == 0
+        and 4 <= k <= 32
+        and index.bloom_size < 2**31
+        and hasattr(engine, "readid_firsthit_reads")
+        and os.environ.get("COLORID_RID_READS", "1") != "0"
+    ):
+        # reuse the device-extraction machinery: re-prepare just the (rare)
+        # tied reads and run the firsthit kernel — no host k-mer work
+        pr = _prepare_reads(
+            batch, [todo_idx[j] for j in tie_js], k, d,
+            fnv_order_enabled(),
+        )
+        if pr is not None:
+            mates, mseg, mlens, ranks, _maplen, Lb = pr
+            fh = engine.readid_firsthit_reads(
+                mates, mseg, mlens, ranks, len(tie_js), start_sample, k, Lb
+            )
+    if fh is None:
+        keys_list = []
+        for j in tie_js:
+            keys = kmer_set(batch[todo_idx[j]][1], k, d=d, minimizer=m)
+            keys_list.append(_fnv_order_keys(keys))
+        fh = engine.readid_firsthit(keys_list, start_sample)
     for t, j in enumerate(tie_js):
         i = todo_idx[j]
         row_fh = fh[t]
@@ -354,6 +460,7 @@ def _run_stream(
     prefix: str,
     what: str,
     qual_offset: int | None = None,
+    threads: int = 1,
 ) -> int:
     t0 = time.time()
     read_count = 0
@@ -367,7 +474,9 @@ def _run_stream(
                 if qual_offset is not None
                 else batch
             )
-            c = classify_batch(masked, engine, d, fp_correct, start_sample)
+            c = classify_batch(
+                masked, engine, d, fp_correct, start_sample, threads=threads
+            )
             read_count += len(c)
             print(f"{read_count} {what} classified\r", end="", file=sys.stderr)
             for row in c:
@@ -397,6 +506,7 @@ def _run_stream_native(
     prefix: str,
     what: str,
     qual_offset: int,
+    threads: int = 1,
 ) -> int:
     """Streaming driver over the C++ fastq frontend (decode + mask + batch
     assembly off the Python heap)."""
@@ -417,7 +527,9 @@ def _run_stream_native(
                 ]
                 j += m
                 batch.append((rid, seqs))
-            c = classify_batch(batch, engine, d, fp_correct, start_sample)
+            c = classify_batch(
+                batch, engine, d, fp_correct, start_sample, threads=threads
+            )
             read_count += len(c)
             print(f"{read_count} {what} classified\r", end="", file=sys.stderr)
             for row in c:
@@ -438,13 +550,14 @@ def per_read_stream_pe(
     prefix: str,
     qual_offset: int,
     start_sample: int,
+    threads: int = 1,
 ) -> int:
     from .. import native
 
     if native.available():
         return _run_stream_native(
             files[0], files[1], engine, d, fp_correct, start_sample, b,
-            prefix, "read pairs", qual_offset,
+            prefix, "read pairs", qual_offset, threads=threads,
         )
     reads = (
         (rid, [s1, s2], [q1, q2])
@@ -452,7 +565,7 @@ def per_read_stream_pe(
     )
     return _run_stream(
         reads, engine, d, fp_correct, start_sample, b, prefix, "read pairs",
-        qual_offset=qual_offset,
+        qual_offset=qual_offset, threads=threads,
     )
 
 
@@ -465,20 +578,21 @@ def per_read_stream_se(
     prefix: str,
     qual_offset: int,
     start_sample: int,
+    threads: int = 1,
 ) -> int:
     from .. import native
 
     if native.available():
         return _run_stream_native(
             files[0], None, engine, d, fp_correct, start_sample, b, prefix,
-            "reads", qual_offset,
+            "reads", qual_offset, threads=threads,
         )
     reads = (
         (rid, [s], [q]) for rid, s, q in stream_fastq_raw(files[0])
     )
     return _run_stream(
         reads, engine, d, fp_correct, start_sample, b, prefix, "reads",
-        qual_offset=qual_offset,
+        qual_offset=qual_offset, threads=threads,
     )
 
 
@@ -510,16 +624,23 @@ def read_id(
     b: int = 50000,
     qual_offset: int = 15,
     start_sample: int = 3,
+    threads: int = 0,
 ) -> None:
-    """Full read_id subcommand: classify + counts report (main.rs:704-868)."""
+    """Full read_id subcommand: classify + counts report (main.rs:704-868).
+    threads: the reference's -t rayon pool size (0 = all cores), mapped onto
+    the host prepare stage so it overlaps device round trips."""
+    if threads <= 0:
+        threads = os.cpu_count() or 1
     if files[0].endswith(".gz"):
         if len(files) > 1:
             per_read_stream_pe(
-                files, engine, d, fp_correct, b, prefix, qual_offset, start_sample
+                files, engine, d, fp_correct, b, prefix, qual_offset,
+                start_sample, threads=threads,
             )
         else:
             per_read_stream_se(
-                files, engine, d, fp_correct, b, prefix, qual_offset, start_sample
+                files, engine, d, fp_correct, b, prefix, qual_offset,
+                start_sample, threads=threads,
             )
     else:
         stream_fasta(files, engine, d, fp_correct, b, prefix, start_sample)

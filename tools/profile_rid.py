@@ -108,19 +108,16 @@ def main():
             prepared.append((len(group), got))
     t_sets = time.time() - t0
     nk = sum(p[1][1].shape[0] for p in prepared if p[1] is not None)
+    assert all(p[1] is not None and p[1][0] == 'packed' for p in prepared)
     print(f"{'C++ set build (kmerize+dedupe+fnv rank)':<44} {t_sets:7.2f}s "
           f"({nk/1e6:.1f}M kmers, {nk/t_sets/1e6:.1f} M/s)", flush=True)
 
     # stage 4: device counting (warm first)
-    _, packed, seg, pos, maplen = (prepared[0][1][0],) + prepared[0][1]
-    engine.readid_counts_packed(
-        prepared[0][1][1], prepared[0][1][2], prepared[0][1][3],
-        prepared[0][0], 3, K,
-    )
+    ng0, got0 = prepared[0]
+    engine.readid_counts_packed(got0[1], got0[2], got0[3], ng0, 3, K)
     t0 = time.time()
     for ng, got in prepared:
-        _, packed, seg, pos, maplen = (got[0],) + got
-        engine.readid_counts_packed(packed, seg, pos, ng, 3, K)
+        engine.readid_counts_packed(got[1], got[2], got[3], ng, 3, K)
     t_dev = time.time() - t0
     print(f"{'device readid counts (warm)':<44} {t_dev:7.2f}s", flush=True)
 
