@@ -363,5 +363,23 @@ def main():
     signal.alarm(0)
 
 
+def _main_with_retry():
+    """The axon tunnel occasionally drops mid-run (FAILED_PRECONDITION on
+    any subsequent device op, unrecoverable within the process). Re-exec
+    once in a fresh process so one flake can't zero out a bench run."""
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:
+        if os.environ.get("COLORID_BENCH_RETRIED") == "1":
+            raise
+        log(f"bench attempt failed ({type(e).__name__}: {e}); retrying in a "
+            "fresh process after 30s")
+        time.sleep(30)
+        env = dict(os.environ, COLORID_BENCH_RETRIED="1")
+        os.execve(sys.executable, [sys.executable, *sys.argv], env)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
