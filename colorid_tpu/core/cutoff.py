@@ -29,10 +29,25 @@ def auto_cutoff(counts: np.ndarray) -> int:
     if counts.size == 0:
         raise ValueError("auto_cutoff on empty k-mer map (reference panics)")
     max_cov = int(counts.max())
-    total_mean = float(counts.sum()) / counts.size
+    histo = np.bincount(counts.astype(np.int64), minlength=max_cov + 1)
+    return auto_cutoff_hist(histo)
+
+
+def auto_cutoff_hist(histo: np.ndarray) -> int:
+    """auto_cutoff from a count histogram (histo[c] = number of unique
+    k-mers seen exactly c times) — the device-resident counting path
+    (ops/extract.py::count_histogram) feeds this without ever materializing
+    per-k-mer counts host-side. Exact for counts below the histogram cap."""
+    histo = np.asarray(histo, dtype=np.int64)
+    nz = np.nonzero(histo[1:])[0]
+    if nz.size == 0:
+        raise ValueError("auto_cutoff on empty k-mer map (reference panics)")
+    max_cov = int(nz[-1]) + 1
+    n_uniq = int(histo.sum())
+    total = int((np.arange(histo.size, dtype=np.int64) * histo).sum())
+    total_mean = total / n_uniq
     if total_mean < 1.5:
         return 0
-    histo = np.bincount(counts.astype(np.int64), minlength=max_cov + 1)
     coverages = histo[1:max_cov].astype(np.float64)  # c = 1 .. max_cov-1
     if coverages.size < 3:
         raise ValueError(

@@ -347,6 +347,7 @@ class QueryEngine:
         self,
         reads_packed: np.ndarray,  # uint32 [R, ceil(L/16)] 2-bit read words
         lens: np.ndarray,  # int32 [R] true read lengths
+        valid_bits: np.ndarray | None = None,  # uint32 [R, ceil(L/32)]
         *,
         k: int,
         L: int,
@@ -360,8 +361,11 @@ class QueryEngine:
         the index, all without the k-mers ever existing host-side
         (ops/extract.py): the host link carries ~0.27 bytes per read base
         instead of 10 bytes per unique k-mer. Returns (result, n_unique
-        filtered k-mers). Reads containing N/lowercase must go through
-        search_keys via the exact host path instead.
+        filtered k-mers). N/other invalid bases are handled exactly via the
+        optional per-base validity bitplane (pack_reads_valid) — windows
+        touching one are skipped like the reference's has_no_n check;
+        lowercase-containing reads still need the exact host path (raw-byte
+        canonical order is not 2-bit representable).
         """
         if not (4 <= k <= 32 and self.index.bloom_size < 2**31):
             raise ValueError("search_reads requires the device-hash envelope")
@@ -374,7 +378,8 @@ class QueryEngine:
             )
         if self._stream and self.bv == 3:
             out = self._search_reads_fused(
-                reads_packed, lens, k=k, L=L, filter_t=filter_t, d=d
+                reads_packed, lens, valid_bits, k=k, L=L, filter_t=filter_t,
+                d=d,
             )
             if out is not None:
                 return out
@@ -384,6 +389,7 @@ class QueryEngine:
         pk, qc, n_u = extract_count(
             jnp.asarray(reads_packed),
             jnp.asarray(np.asarray(lens, dtype=np.int32)),
+            None if valid_bits is None else jnp.asarray(valid_bits),
             k=k, L=L, filter_t=filter_t, d=d,
         )
         n = int(n_u)  # tiny scalar D2H; keys/counts stay device-resident
@@ -450,7 +456,7 @@ class QueryEngine:
         return self._collect(stats, hist, oc_buf, of_buf, capO), n
 
     def _search_reads_fused(
-        self, reads_packed, lens, *, k, L, filter_t, d
+        self, reads_packed, lens, valid_bits=None, *, k, L, filter_t, d
     ) -> tuple[SearchResult, int] | None:
         """search_reads through the one-call fused pipeline
         (ops/fused_reads.py): extraction, exact counting and the
@@ -478,6 +484,7 @@ class QueryEngine:
             self.blocks2, self._blocks_bp,
             jnp.asarray(reads_packed),
             jnp.asarray(np.asarray(lens, dtype=np.int32)),
+            None if valid_bits is None else jnp.asarray(valid_bits),
             k=k, L=L, filter_t=filter_t, d=d,
             wpad=self.wpad, num_hash=self.index.num_hash,
             bloom_size=self.index.bloom_size, rpb=self.rpb, n_colors=C,
@@ -511,6 +518,30 @@ class QueryEngine:
                 over_c, over_f,
             ),
             int(host[sl + 1]),
+        )
+
+    def count_reads_histogram(
+        self,
+        reads_packed: np.ndarray,
+        lens: np.ndarray,
+        valid_bits: np.ndarray | None = None,
+        *,
+        k: int,
+        L: int,
+        d: int = 1,
+        cap: int = 65536,
+    ) -> np.ndarray:
+        """Device-side per-unique-k-mer count histogram (auto_cutoff input;
+        kmer.rs:866) — one [cap] int32 fetch instead of shipping counts."""
+        from .ops.extract import count_histogram
+
+        return np.asarray(
+            count_histogram(
+                jnp.asarray(reads_packed),
+                jnp.asarray(np.asarray(lens, dtype=np.int32)),
+                None if valid_bits is None else jnp.asarray(valid_bits),
+                k=k, L=L, d=d, cap=cap,
+            )
         )
 
     # -- read classifier (read_id hot loop) ----------------------------------

@@ -74,6 +74,41 @@ def pack_reads_masked(seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return (cp.reshape(R, Lw, 16) << shifts).sum(axis=2, dtype=np.uint32), clean
 
 
+def pack_reads_valid(seqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ASCII reads [R, L] -> (2-bit words [R, ceil(L/16)], per-base validity
+    bitplane [R, ceil(L/32)] uint32, little-endian). Bytes outside uppercase
+    ACGT pack as 'A' with their validity bit 0; the device skips windows
+    touching an invalid base exactly like the reference skips N-containing
+    windows (kmer.rs:87-125). ~0.03 extra bytes/base on the host link."""
+    R, L = seqs.shape
+    codes = _CODE[seqs]
+    ok = codes != 255
+    codes = np.where(ok, codes, np.uint8(0))
+    Lw = words_per_read(L)
+    cp = np.zeros((R, Lw * 16), dtype=np.uint32)
+    cp[:, :L] = codes
+    shifts = (2 * (15 - np.arange(16, dtype=np.uint32))).astype(np.uint32)
+    words = (cp.reshape(R, Lw, 16) << shifts).sum(axis=2, dtype=np.uint32)
+    Lb = ((L + 31) // 32) * 32
+    okp = np.zeros((R, Lb), dtype=np.uint8)
+    okp[:, :L] = ok
+    vbits = np.packbits(okp, axis=1, bitorder="little")
+    return words, vbits.reshape(R, -1, 4).view(np.uint32)[:, :, 0].copy()
+
+
+def _window_valid_ok(valid_bits: jnp.ndarray, L: int, k: int, NW: int):
+    """bool [R, NW]: window w has all k bases valid (prefix-sum over the
+    unpacked per-base validity bitplane)."""
+    R = valid_bits.shape[0]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    vb = ((valid_bits[:, :, None] >> shifts) & jnp.uint32(1)).reshape(R, -1)
+    inv = (jnp.uint32(1) - vb[:, :L]).astype(jnp.int32)
+    c = jnp.concatenate(
+        [jnp.zeros((R, 1), dtype=jnp.int32), jnp.cumsum(inv, axis=1)], axis=1
+    )
+    return (c[:, k:] - c[:, :NW]) == 0
+
+
 def _unpack_codes(words: jnp.ndarray, L: int) -> jnp.ndarray:
     """[R, Lw] uint32 words -> [R, L] uint32 base codes (0..3)."""
     R, Lw = words.shape
@@ -116,6 +151,7 @@ def _window_limbs(codes: jnp.ndarray, k: int, NW: int):
 def extract_count(
     reads_packed: jnp.ndarray,  # uint32 [R, ceil(L/16)]
     lens: jnp.ndarray,  # int32 [R] true read lengths (<= L)
+    valid_bits: jnp.ndarray | None = None,  # uint32 [R, ceil(L/32)] or None
     *,
     k: int,
     L: int,
@@ -143,6 +179,8 @@ def extract_count(
     valid = w_idx + k <= lens[:, None]
     if d > 1:
         valid = valid & (w_idx % d == 0)
+    if valid_bits is not None:
+        valid = valid & _window_valid_ok(valid_bits, L, k, NW)
     SENT = U32(0xFFFFFFFF)  # > any canonical key (canonical(T^32) = A^32)
     lo = jnp.where(valid, lo, SENT).reshape(-1)
     hi = jnp.where(valid, hi, SENT).reshape(-1)
@@ -173,6 +211,7 @@ def extract_count(
 def count_histogram(
     reads_packed: jnp.ndarray,
     lens: jnp.ndarray,
+    valid_bits: jnp.ndarray | None = None,
     *,
     k: int,
     L: int,
@@ -194,6 +233,8 @@ def count_histogram(
     valid = w_idx + k <= lens[:, None]
     if d > 1:
         valid = valid & (w_idx % d == 0)
+    if valid_bits is not None:
+        valid = valid & _window_valid_ok(valid_bits, L, k, NW)
     SENT = U32(0xFFFFFFFF)
     lo = jnp.where(valid, lo, SENT).reshape(-1)
     hi = jnp.where(valid, hi, SENT).reshape(-1)

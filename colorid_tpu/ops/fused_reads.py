@@ -52,6 +52,7 @@ def fused_search_reads(
     blocks_bp: jnp.ndarray,  # int8 [Rb, 512] byte planes
     reads_packed: jnp.ndarray,  # uint32 [R, ceil(L/16)] 2-bit read words
     lens: jnp.ndarray,  # int32 [R]
+    valid_bits: jnp.ndarray | None = None,  # uint32 [R, ceil(L/32)] or None
     *,
     k: int,
     L: int,
@@ -76,6 +77,10 @@ def fused_search_reads(
     valid = w_idx + k <= lens[:, None]
     if d > 1:
         valid = valid & (w_idx % d == 0)
+    if valid_bits is not None:
+        from .extract import _window_valid_ok
+
+        valid = valid & _window_valid_ok(valid_bits, L, k, NW)
     lo = jnp.where(valid, lo, SENT).reshape(-1)
     hi = jnp.where(valid, hi, SENT).reshape(-1)
     N = R * NW

@@ -94,6 +94,79 @@ def _count_query_kmers(
     return clean_counts(keys, counts, filter_t) + (None,)
 
 
+def _device_count_search(file1, file2, engine, filter_t, qual_offset):
+    """Fully device-resident fastq query: stream + quality-mask reads on
+    host, ship 2-bit words + a per-base validity bitplane (~0.28 B/base),
+    and let the device extract, count, auto-cutoff-filter and query — the
+    reference's whole count-then-search flow (batch_search_pe.rs:24-83)
+    without per-k-mer host work or traffic. Returns (SearchResult,
+    n_filtered_kmers) or None to fall back to the host counting path
+    (lowercase input, engine without device extraction, or an input beyond
+    the single-device window budget)."""
+    import os
+
+    from ..core.fastx import stream_fastq, stream_fastq_pe
+    from ..ops.extract import pack_reads_valid
+
+    index = engine.index
+    k = index.k_size
+    if not (
+        hasattr(engine, "search_reads")
+        and 4 <= k <= 32
+        and index.bloom_size < 2**31
+        and os.environ.get("COLORID_SEARCH_READS", "1") != "0"
+    ):
+        return None
+    print(
+        file1 if file2 is None else f"Paired end: {file1} {file2}",
+        file=sys.stderr,
+    )
+    print("Counting k-mers, this may take a while!", file=sys.stderr)
+    if file2 is None:
+        seqs = [s for _id, s in stream_fastq(file1, qual_offset)]
+    else:
+        seqs = [
+            s
+            for _id, s1, s2 in stream_fastq_pe(file1, file2, qual_offset)
+            for s in (s1, s2)
+        ]
+    if not seqs:
+        return None
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    Lmax = int(lens.max())
+    if Lmax < k or Lmax > 8192:
+        return None
+    Lb = max(64, -(-Lmax // 32) * 32)
+    R = len(seqs)
+    Rp = max(1 << (R - 1).bit_length(), 4096)
+    budget = int(os.environ.get("COLORID_SEARCH_READS_MAX_WIN", 1 << 29))
+    if Rp * (Lb - k + 1) > budget:
+        return None  # host counting handles arbitrarily large inputs
+    mb = np.zeros((Rp, Lb), dtype=np.uint8)
+    for j, s in enumerate(seqs):
+        mb[j, : len(s)] = s
+    lower = np.zeros(256, dtype=bool)
+    lower[[ord(c) for c in "acgt"]] = True
+    if lower[mb].any():
+        return None  # raw-byte canonical order is not 2-bit representable
+    lens_p = np.zeros(Rp, dtype=np.int32)
+    lens_p[:R] = lens
+    words, vbits = pack_reads_valid(mb)
+    if filter_t < 0:
+        from ..core.cutoff import auto_cutoff_hist
+
+        hist = engine.count_reads_histogram(
+            words, lens_p, vbits, k=k, L=Lb
+        )
+        t = auto_cutoff_hist(hist)
+    else:
+        t = filter_t
+    res, n_u = engine.search_reads(
+        words, lens_p, vbits, k=k, L=Lb, filter_t=t
+    )
+    return res, n_u
+
+
 def batch_search(
     files1: list[str],
     files2: list[str],
@@ -108,14 +181,23 @@ def batch_search(
     out_lines: list[str] = []
     for i, file1 in enumerate(files1):
         file2 = files2[i] if files2 else None
-        keys, qcounts, packed = _count_query_kmers(
-            file1, file2, index.k_size, qual_offset, filter_t, gene_search
-        )
-        num_kmers = keys.shape[0]
+        res = None
+        if file1.endswith("gz"):
+            got = _device_count_search(
+                file1, file2, engine, filter_t, qual_offset
+            )
+            if got is not None:
+                res, num_kmers = got
+        if res is None:
+            keys, qcounts, packed = _count_query_kmers(
+                file1, file2, index.k_size, qual_offset, filter_t, gene_search
+            )
+            num_kmers = keys.shape[0]
         print(f"{num_kmers} k-mers in query", file=sys.stderr)
-        res = engine.search_keys(
-            keys, qcounts=qcounts, packed_all=packed, k=index.k_size
-        )
+        if res is None:
+            res = engine.search_keys(
+                keys, qcounts=qcounts, packed_all=packed, k=index.k_size
+            )
         report = {
             index.colors[c]: int(res.counts[c])
             for c in range(index.n_colors)
