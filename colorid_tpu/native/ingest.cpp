@@ -430,6 +430,30 @@ static inline uint64_t fnv1a64_packed(uint64_t key, int width) {
     return (h ^ 0xff) * FNV_PRIME;
 }
 
+static void fnv1a64_packed_batch(const uint64_t* keys, size_t n, int width,
+                                 uint64_t* out) {
+    // 4-way interleave: the per-key hash is a width-round mul latency
+    // chain; batching makes it throughput-bound (~3x on the rank path)
+    size_t i = 0;
+    for (; i + 4 <= n; i += 4) {
+        uint64_t h0 = FNV_OFFSET, h1 = FNV_OFFSET, h2 = FNV_OFFSET,
+                 h3 = FNV_OFFSET;
+        uint64_t k0 = keys[i], k1 = keys[i + 1], k2 = keys[i + 2],
+                 k3 = keys[i + 3];
+        for (int b = width - 1; b >= 0; b--) {
+            h0 = (h0 ^ DECODE[(k0 >> (2 * b)) & 3]) * FNV_PRIME;
+            h1 = (h1 ^ DECODE[(k1 >> (2 * b)) & 3]) * FNV_PRIME;
+            h2 = (h2 ^ DECODE[(k2 >> (2 * b)) & 3]) * FNV_PRIME;
+            h3 = (h3 ^ DECODE[(k3 >> (2 * b)) & 3]) * FNV_PRIME;
+        }
+        out[i] = (h0 ^ 0xff) * FNV_PRIME;
+        out[i + 1] = (h1 ^ 0xff) * FNV_PRIME;
+        out[i + 2] = (h2 ^ 0xff) * FNV_PRIME;
+        out[i + 3] = (h3 ^ 0xff) * FNV_PRIME;
+    }
+    for (; i < n; i++) out[i] = fnv1a64_packed(keys[i], width);
+}
+
 static inline uint64_t fnv1a64_bytes_str(const uint8_t* p, int64_t n) {
     uint64_t h = FNV_OFFSET;
     for (int64_t i = 0; i < n; i++) h = (h ^ p[i]) * FNV_PRIME;
@@ -462,17 +486,25 @@ struct Hashbrown {
         size_t mask = buckets - 1;
         size_t pos = (size_t)h & mask, stride = 0;
         for (;;) {
-            for (int b = 0; b < GROUP; b++) {
-                if (ctrl[pos + b] & 0x80) {  // EMPTY or DELETED
-                    size_t result = (pos + (size_t)b) & mask;
-                    if (!(ctrl[result] & 0x80)) {
-                        // wrapped onto a FULL slot (buckets < GROUP): take
-                        // the lowest empty of the aligned group at 0
-                        for (int a = 0; a < GROUP; a++)
-                            if (ctrl[a] & 0x80) return (size_t)a;
-                    }
-                    return result;
+            // SWAR group probe: first EMPTY/DELETED byte (high bit set) of
+            // the 16-byte group via two 8-byte loads + ctz — the ctrl
+            // mirror tail makes the unaligned reads always valid
+            uint64_t g1, g2;
+            std::memcpy(&g1, ctrl.data() + pos, 8);
+            std::memcpy(&g2, ctrl.data() + pos + 8, 8);
+            uint64_t e1 = g1 & 0x8080808080808080ULL;
+            uint64_t e2 = g2 & 0x8080808080808080ULL;
+            if (e1 | e2) {
+                int b = e1 ? (__builtin_ctzll(e1) >> 3)
+                           : 8 + (__builtin_ctzll(e2) >> 3);
+                size_t result = (pos + (size_t)b) & mask;
+                if (!(ctrl[result] & 0x80)) {
+                    // wrapped onto a FULL slot (buckets < GROUP): take
+                    // the lowest empty of the aligned group at 0
+                    for (int a = 0; a < GROUP; a++)
+                        if (ctrl[a] & 0x80) return (size_t)a;
                 }
+                return result;
             }
             stride += GROUP;
             pos = (pos + stride) & mask;
@@ -481,10 +513,9 @@ struct Hashbrown {
 
     void place(size_t bucket, uint64_t h, int32_t i) {
         uint8_t h2 = (uint8_t)((h >> 57) & 0x7f);
-        long long m = ((long long)bucket - GROUP) % (long long)buckets;
-        if (m < 0) m += (long long)buckets;
+        size_t m = (bucket - (size_t)GROUP) & (buckets - 1);  // pow2 buckets
         ctrl[bucket] = h2;
-        ctrl[(size_t)m + GROUP] = h2;
+        ctrl[m + GROUP] = h2;
         ins[bucket] = i;
         hsh[bucket] = h;
     }
@@ -573,6 +604,7 @@ extern "C" int64_t ct_read_sets(
     std::vector<int32_t> set_used;
     std::vector<uint64_t> read_keys;
     std::vector<int32_t> rank_scratch;
+    std::vector<uint64_t> rank_hashes;
     int32_t gen = 0;
     Hashbrown hb;
     int64_t total = 0;
@@ -639,9 +671,12 @@ extern "C" int64_t ct_read_sets(
             if (!ok) return -2;
         }
         if (fnv_order && !read_keys.empty()) {
+            rank_hashes.resize(read_keys.size());
+            fnv1a64_packed_batch(read_keys.data(), read_keys.size(), width,
+                                 rank_hashes.data());
             hb.reset();
             for (size_t i = 0; i < read_keys.size(); i++)
-                hb.insert(fnv1a64_packed(read_keys[i], width), (int32_t)i);
+                hb.insert(rank_hashes[i], (int32_t)i);
             rank_scratch.assign(read_keys.size(), 0);
             hb.ranks(rank_scratch.data());
             int64_t stop = read_start + (int64_t)read_keys.size();
@@ -682,6 +717,7 @@ extern "C" int64_t ct_read_sets_packed(
     std::vector<int32_t> set_used;
     std::vector<uint64_t> read_keys;
     std::vector<int32_t> rank_scratch;
+    std::vector<uint64_t> rank_hashes;
     int32_t gen = 0;
     Hashbrown hb;
     int width = m_size > 0 ? m_size : k;
@@ -740,9 +776,12 @@ extern "C" int64_t ct_read_sets_packed(
             if (!ok) return -2;
         }
         if (fnv_order && !read_keys.empty()) {
+            rank_hashes.resize(read_keys.size());
+            fnv1a64_packed_batch(read_keys.data(), read_keys.size(), width,
+                                 rank_hashes.data());
             hb.reset();
             for (size_t i = 0; i < read_keys.size(); i++)
-                hb.insert(fnv1a64_packed(read_keys[i], width), (int32_t)i);
+                hb.insert(rank_hashes[i], (int32_t)i);
             rank_scratch.assign(read_keys.size(), 0);
             hb.ranks(rank_scratch.data());
             int64_t stop = read_start + (int64_t)read_keys.size();
@@ -897,6 +936,7 @@ extern "C" int64_t ct_read_rank_windows(
     std::vector<uint64_t> read_keys;
     std::vector<int64_t> first_pos;
     std::vector<int32_t> rank_scratch;
+    std::vector<uint64_t> hash_buf;
     int32_t gen = 0;
     Hashbrown hb;
     int64_t seq_idx = 0;
@@ -946,9 +986,12 @@ extern "C" int64_t ct_read_rank_windows(
         maplen_out[r] = pos;
         if (pos > 32000) return -3;
         if (fnv_order && !read_keys.empty()) {
+            hash_buf.resize(read_keys.size());
+            fnv1a64_packed_batch(read_keys.data(), read_keys.size(), k,
+                                 hash_buf.data());
             hb.reset();
             for (size_t i = 0; i < read_keys.size(); i++)
-                hb.insert(fnv1a64_packed(read_keys[i], k), (int32_t)i);
+                hb.insert(hash_buf[i], (int32_t)i);
             rank_scratch.assign(read_keys.size(), 0);
             hb.ranks(rank_scratch.data());
             for (size_t i = 0; i < read_keys.size(); i++)
