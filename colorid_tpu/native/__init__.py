@@ -118,7 +118,7 @@ def _load():
         lib.ct_read_rank_windows.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.ct_fnv_ranks.restype = None
         lib.ct_fnv_ranks.argtypes = [
@@ -463,13 +463,16 @@ def read_rank_windows(
     d: int,
     nw_stride: int,
     fnv_order: bool = True,
+    pack_len: int | None = None,
 ):
     """Per-window set ranks [n_mates, nw_stride] int16 for the
     device-extraction read_id path (the device re-derives the k-mer windows
     from 2-bit packed mates; the host ships only this rank plane). -1 marks
     duplicate / skipped / padding windows. Returns (ranks, maplen [B]) or
     None when the native path can't handle the batch (lowercase, oversized
-    sets, missing library)."""
+    sets, missing library). With pack_len=Lb the same pass also emits the
+    2-bit packed mates (layout of ops/extract.py::pack_reads_any, rows
+    padded to Lb bases) and the return gains a third element."""
     lib = _load()
     if lib is None or k > 32:
         return None
@@ -480,11 +483,19 @@ def read_rank_windows(
     n_mates = len(seq_offs) - 1
     ranks = np.full((max(n_mates, 1), nw_stride), -1, dtype=np.int16)
     maplen = np.zeros(max(n_reads, 1), dtype=np.int32)
+    packed = None
+    words = 0
+    if pack_len is not None:
+        words = (pack_len + 15) // 16
+        packed = np.zeros((max(n_mates, 1), words), dtype=np.uint32)
     got = lib.ct_read_rank_windows(
         seqs_concat.ctypes.data, seq_offs.ctypes.data,
         read_seq_counts.ctypes.data, n_reads, k, d, nw_stride,
         1 if fnv_order else 0, ranks.ctypes.data, maplen.ctypes.data,
+        packed.ctypes.data if packed is not None else None, words,
     )
     if got < 0:
         return None
+    if packed is not None:
+        return ranks[:n_mates], maplen[:n_reads], packed[:n_mates]
     return ranks[:n_mates], maplen[:n_reads]

@@ -920,7 +920,7 @@ extern "C" int64_t ct_read_rank_windows(
     const uint8_t* seqs, const int64_t* seq_offs,
     const int32_t* read_seq_counts, int64_t n_reads, int32_t k, int32_t d,
     int64_t nw_stride, int32_t fnv_order, int16_t* ranks_out,
-    int32_t* maplen_out) {
+    int32_t* maplen_out, uint32_t* packed_out, int64_t words_per_mate) {
     // Per-WINDOW set ranks for the device-extraction read_id path: the
     // device re-derives every canonical k-mer window from the 2-bit packed
     // mates (ops/query.py::query_readid_reads_batch), so the host only
@@ -949,6 +949,18 @@ extern "C" int64_t ct_read_rank_windows(
         for (int32_t s = 0; s < read_seq_counts[r]; s++, seq_idx++) {
             const uint8_t* seq = seqs + seq_offs[seq_idx];
             int64_t len = seq_offs[seq_idx + 1] - seq_offs[seq_idx];
+            if (packed_out) {
+                // fused 2-bit packing (same layout as ops/extract.py::
+                // pack_reads_any: 16 bases/u32, first base in the top bits,
+                // non-ACGT packs as A=0; buffer arrives zero-filled so
+                // padding needs no writes)
+                uint32_t* pw = packed_out + seq_idx * words_per_mate;
+                for (int64_t i = 0; i < len; i++) {
+                    uint8_t c = CODE[seq[i]];
+                    if (c >= 4) continue;
+                    pw[i >> 4] |= (uint32_t)c << (2 * (15 - (i & 15)));
+                }
+            }
             if (len < k) continue;
             if (has_lowercase_acgt(seq, len)) return -2;
             int64_t base = seq_idx * nw_stride;

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 import time
 from typing import Iterator
 
@@ -144,7 +145,6 @@ def _prepare_reads(batch, todo_idx, k, d, fnv):
     unique k-mer. Returns (mates_packed, mate_seg, lens, ranks, maplen, Lb)
     or None (lowercase / oversized / no native lib -> older paths)."""
     from .. import native
-    from ..ops.extract import pack_reads_any
 
     seqs = []
     nseqs = np.empty(len(todo_idx), dtype=np.int32)
@@ -163,21 +163,17 @@ def _prepare_reads(batch, todo_idx, k, d, fnv):
     offs = np.zeros(M + 1, dtype=np.int64)
     offs[1:] = np.cumsum(lens)
     concat = np.concatenate(seqs)
+    # one native pass emits both the rank plane and the 2-bit packed mates
     got = native.read_rank_windows(
-        concat, offs, nseqs, k, d, Lb - k + 1, fnv_order=fnv
+        concat, offs, nseqs, k, d, Lb - k + 1, fnv_order=fnv, pack_len=Lb
     )
     if got is None:
         return None
-    ranks, maplen = got
-    mb = np.full((M, Lb), ord("A"), dtype=np.uint8)
-    for idx in range(M):
-        mb[idx, : offs[idx + 1] - offs[idx]] = concat[offs[idx] : offs[idx + 1]]
+    ranks, maplen, packed = got
     seg = np.repeat(
         np.arange(len(todo_idx), dtype=np.int16), nseqs
     )
-    return (
-        pack_reads_any(mb), seg, lens.astype(np.int32), ranks, maplen, Lb,
-    )
+    return packed, seg, lens.astype(np.int32), ranks, maplen, Lb
 
 
 def _prepare_native(batch, todo_idx, index, d, packed_ok):
@@ -510,23 +506,47 @@ def _run_stream_native(
 ) -> int:
     """Streaming driver over the C++ fastq frontend (decode + mask + batch
     assembly off the Python heap)."""
+    import queue as _queue
+
     from .. import native
 
     stream = native.FastqReadStream(path1, path2, qual_offset, b)
     t0 = time.time()
     read_count = 0
+
+    # producer thread: gzip decode (C++, GIL released) + batch assembly run
+    # ahead of the device round trips of the batch being classified — the
+    # cross-batch half of the reference's rayon overlap (read_id_mt_pe.rs
+    # streams while the pool classifies)
+    q: _queue.Queue = _queue.Queue(maxsize=2)
+
+    def _produce() -> None:
+        try:
+            for ids, seq_buf, seq_offs, nseqs in stream:
+                batch = []
+                j = 0
+                for i, rid in enumerate(ids):
+                    m = int(nseqs[i])
+                    seqs = [
+                        seq_buf[seq_offs[j + t] : seq_offs[j + t + 1]]
+                        for t in range(m)
+                    ]
+                    j += m
+                    batch.append((rid, seqs))
+                q.put(batch)
+            q.put(None)
+        except BaseException as e:  # surface decode errors in the consumer
+            q.put(e)
+
+    prod = threading.Thread(target=_produce, daemon=True)
+    prod.start()
     with open(f"{prefix}_reads.txt", "w") as f:
-        for ids, seq_buf, seq_offs, nseqs in stream:
-            batch = []
-            j = 0
-            for i, rid in enumerate(ids):
-                m = int(nseqs[i])
-                seqs = [
-                    seq_buf[seq_offs[j + t] : seq_offs[j + t + 1]]
-                    for t in range(m)
-                ]
-                j += m
-                batch.append((rid, seqs))
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            if isinstance(batch, BaseException):
+                raise batch
             c = classify_batch(
                 batch, engine, d, fp_correct, start_sample, threads=threads
             )
