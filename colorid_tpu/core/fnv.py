@@ -48,6 +48,8 @@ replaying only the first occurrences (in first-occurrence order) is exact.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 FNV_OFFSET = np.uint64(0xCBF29CE484222325)
@@ -203,10 +205,15 @@ def fnv_reorder_keys(keys: np.ndarray) -> np.ndarray:
 
 def fnv_map_order_usize(keys_in_insertion_order) -> list[int]:
     """FnvHashMap<usize, _> iteration order for the given unique keys."""
-    order = hashbrown_iteration_order(
-        [fnv1a64_usize(k) for k in keys_in_insertion_order]
-    )
-    return [keys_in_insertion_order[i] for i in order]
+    return list(_map_order_usize_cached(tuple(keys_in_insertion_order)))
+
+
+@functools.lru_cache(maxsize=65536)
+def _map_order_usize_cached(keys: tuple) -> tuple:
+    # tied-read fixup calls this once per read with small color-id tuples
+    # that repeat heavily across a batch; the table replay is pure in them
+    order = hashbrown_iteration_order([fnv1a64_usize(k) for k in keys])
+    return tuple(keys[i] for i in order)
 
 
 def fnv_map_order_str(keys_in_insertion_order: list[bytes]) -> list[bytes]:

@@ -270,7 +270,7 @@ def classify_batch(
     # slice the batch so int16 segment ids suffice for the packed path
     report_parts = []
     maplen_parts = []
-    GROUP = 16384
+    GROUP = 32768  # int16 segment ids span 0..32767
     reads_path = (
         packed_ok
         and m == 0
@@ -282,6 +282,7 @@ def classify_batch(
         clean_idx[g0 : g0 + GROUP]
         for g0 in range(0, len(clean_idx), GROUP)
     ]
+    group_preps: list = []  # per-group prepared tuples, kept for tie fixup
     pr_iter = None
     if reads_path and threads > 1 and len(groups) > 1:
         # prefetch group preparation (the C++ rank emulation releases the
@@ -308,9 +309,11 @@ def classify_batch(
                         mates, mseg, mlens, ranks, len(group), start_sample,
                         k, Lb,
                     )
+                    group_preps.append(pr)
                     report_parts.append(rep)
                     maplen_parts.append(np.asarray(maplen))
                     continue
+            group_preps.append(None)
             prepared = _prepare_native(batch, group, index, d, packed_ok)
             if prepared is not None and prepared[0] == "packed":
                 _, packed, seg, pos, maplen = prepared
@@ -347,9 +350,14 @@ def classify_batch(
 
     empty = (real.sum(axis=1) + noh) == 0  # report.is_empty()
     only_no_hits = (noh > 0) & (real.max(axis=1, initial=0) == 0)
-    sig = (real > 0) & ~not_fp_significant_mask(
-        mlen[:, None], p_false[None, :], real, fp_correct
-    )
+    # the binomial test only matters where hits > 0 (zero-hit colors are
+    # never significant) — ~10% of the matrix at typical panel sizes
+    nz_r, nz_c = np.nonzero(real > 0)
+    sig = np.zeros(real.shape, dtype=bool)
+    if nz_r.size:
+        sig[nz_r, nz_c] = ~not_fp_significant_mask(
+            mlen[nz_r], p_false[nz_c], real[nz_r, nz_c], fp_correct
+        )
     any_sig = sig.any(axis=1)
     top_count = np.where(sig, real, -1).max(axis=1)
     is_top = sig & (real == top_count[:, None])
@@ -375,13 +383,54 @@ def classify_batch(
         _fix_tie_order(
             batch, todo_idx, tie_js, engine, d, start_sample,
             real, noh, sig, top_count, mlen, out,
+            group_preps=group_preps, clean_idx=clean_idx, group_size=GROUP,
         )
     return out
+
+
+def _gather_tie_prep(tie_batch_idx, group_preps, clean_idx, group_size):
+    """Reuse classify_batch's per-group prepared arrays for the tied reads:
+    select their mate rows instead of re-running the native prepare pass.
+    Returns the same tuple shape as _prepare_reads, or None when any tied
+    read wasn't on the prepared reads path (dirty read / fallback group) or
+    the groups' padded lengths differ."""
+    if not group_preps:
+        return None
+    loc = {}  # batch index -> (group, local read position)
+    for g in range(len(group_preps)):
+        for p, i in enumerate(clean_idx[g * group_size : (g + 1) * group_size]):
+            loc[i] = (g, p)
+    rows_m, rows_r, rows_l, n_mates = [], [], [], []
+    Lb = None
+    for i in tie_batch_idx:
+        gp = loc.get(i)
+        if gp is None or group_preps[gp[0]] is None:
+            return None
+        mates, mseg, mlens, ranks, _maplen, gLb = group_preps[gp[0]]
+        if Lb is None:
+            Lb = gLb
+        elif gLb != Lb:
+            return None
+        s = int(np.searchsorted(mseg, gp[1]))
+        e = int(np.searchsorted(mseg, gp[1] + 1))
+        rows_m.append(mates[s:e])
+        rows_r.append(ranks[s:e])
+        rows_l.append(mlens[s:e])
+        n_mates.append(e - s)
+    seg = np.repeat(
+        np.arange(len(tie_batch_idx), dtype=np.int16),
+        np.asarray(n_mates, dtype=np.int64),
+    )
+    return (
+        np.concatenate(rows_m), seg, np.concatenate(rows_l),
+        np.concatenate(rows_r), None, Lb,
+    )
 
 
 def _fix_tie_order(
     batch, todo_idx, tie_js, engine, d, start_sample,
     real, noh, sig, top_count, mlen, out,
+    group_preps=None, clean_idx=None, group_size=0,
 ) -> None:
     """Rewrite tied-top reject rows so the comma-joined names follow the
     reference's order: kmer_poll_plus stable-sorts the report FnvHashMap's
@@ -403,12 +452,17 @@ def _fix_tie_order(
         and hasattr(engine, "readid_firsthit_reads")
         and os.environ.get("COLORID_RID_READS", "1") != "0"
     ):
-        # reuse the device-extraction machinery: re-prepare just the (rare)
-        # tied reads and run the firsthit kernel — no host k-mer work
-        pr = _prepare_reads(
-            batch, [todo_idx[j] for j in tie_js], k, d,
-            fnv_order_enabled(),
-        )
+        # reuse the device-extraction machinery for just the tied reads —
+        # no host k-mer work; the prepared group arrays are recycled when
+        # available, else the native prepare pass re-runs on the subset
+        tie_batch_idx = [todo_idx[j] for j in tie_js]
+        pr = None
+        if group_preps is not None:
+            pr = _gather_tie_prep(
+                tie_batch_idx, group_preps, clean_idx, group_size
+            )
+        if pr is None:
+            pr = _prepare_reads(batch, tie_batch_idx, k, d, fnv_order_enabled())
         if pr is not None:
             mates, mseg, mlens, ranks, _maplen, Lb = pr
             fh = engine.readid_firsthit_reads(
