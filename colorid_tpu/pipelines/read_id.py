@@ -146,6 +146,8 @@ def _prepare_reads(batch, todo_idx, k, d, fnv):
     or None (lowercase / oversized / no native lib -> older paths)."""
     from .. import native
 
+    if len(todo_idx) > 32768:  # int16 segment-id ceiling (max id = len-1)
+        return None
     seqs = []
     nseqs = np.empty(len(todo_idx), dtype=np.int32)
     for j, i in enumerate(todo_idx):
@@ -394,7 +396,7 @@ def _gather_tie_prep(tie_batch_idx, group_preps, clean_idx, group_size):
     Returns the same tuple shape as _prepare_reads, or None when any tied
     read wasn't on the prepared reads path (dirty read / fallback group) or
     the groups' padded lengths differ."""
-    if not group_preps:
+    if not group_preps or len(tie_batch_idx) > 32768:  # int16 seg ceiling
         return None
     loc = {}  # batch index -> (group, local read position)
     for g in range(len(group_preps)):
