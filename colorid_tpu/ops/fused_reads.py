@@ -84,7 +84,10 @@ def fused_search_reads(
     lo = jnp.where(valid, lo, SENT).reshape(-1)
     hi = jnp.where(valid, hi, SENT).reshape(-1)
     N = R * NW
-    pad = (-N) % PC
+    # pairwise compaction rounds (below): each round halves the slot count,
+    # so pad the stream so the final length stays a multiple of PC
+    rounds = min(3, (filter_t + 1).bit_length() - 1) if filter_t >= 1 else 0
+    pad = (-N) % (PC << rounds)
     if pad:
         lo = jnp.concatenate([lo, jnp.full(pad, SENT)])
         hi = jnp.concatenate([hi, jnp.full(pad, SENT)])
@@ -102,6 +105,26 @@ def fused_search_reads(
     keep = new & ~((s_hi == SENT) & (s_lo == SENT)) & (count > filter_t)
     n_unique = keep.sum().astype(jnp.int32)
     qc = jnp.where(keep, count, 0)
+
+    # pairwise compaction: for filter_t >= 1 every kept group start is
+    # followed by >= filter_t more identical slots, so two kept starts are
+    # always > filter_t slots apart — a pair of adjacent slots holds at most
+    # ONE kept probe, and each round halves the stream with a pure
+    # elementwise select (no sort, no scatter). Round r is sound while
+    # 2^r <= filter_t+1 (spacing of kept starts after r-1 halvings). The
+    # filler value of a keptless pair is the even slot's real sorted value,
+    # keeping the block stream monotone for the kernel's tile windows.
+    for _ in range(rounds):
+        half = s_lo.shape[0] // 2
+        k2 = keep.reshape(half, 2)
+        pick = k2[:, 1]
+        s_lo2 = s_lo.reshape(half, 2)
+        s_hi2 = s_hi.reshape(half, 2)
+        qc2 = qc.reshape(half, 2)
+        s_lo = jnp.where(pick, s_lo2[:, 1], s_lo2[:, 0])
+        s_hi = jnp.where(pick, s_hi2[:, 1], s_hi2[:, 0])
+        qc = jnp.where(pick, qc2[:, 1], qc2[:, 0])
+        keep = k2[:, 0] | k2[:, 1]
 
     blk, offs = _v3_blkoff(s_lo, s_hi, k, num_hash, bloom_size, rpb)
     offp = pack_offsets(offs)

@@ -113,16 +113,19 @@ def _stream_kernel(
         hist_ref[:] = jnp.zeros_like(hist_ref)
 
     # --- block gather: int8 one-hot row-select over 2 byte-plane tiles ----
+    # only the live byte planes participate (index bits >= n_colors are
+    # never set, so single-word rows need just ceil(C/8) planes)
+    PLW = 128 * planes
     base = tb_ref[j] * T
     l2 = (blk_ref[:] - base)[:, None]  # i32 [PC, 1]
     iota_T = jax.lax.broadcasted_iota(jnp.int32, (PC, T), 1)
     ohA = (l2 == iota_T).astype(jnp.int8)
     ohB = ((l2 - T) == iota_T).astype(jnp.int8)
     g = jax.lax.dot_general(
-        ohA, tileA_ref[:], (((1,), (0,)), ((), ())),
+        ohA, tileA_ref[:, :PLW], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     g = g + jax.lax.dot_general(
-        ohB, tileB_ref[:], (((1,), (0,)), ((), ())),
+        ohB, tileB_ref[:, :PLW], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     # g[p, 128*plane + lane] = byte(plane) of the probe's block word at
     # lane, minus 128 (all-zero for out-of-window probes, masked via qc==0)
@@ -130,46 +133,81 @@ def _stream_kernel(
     # --- per-probe word extraction: lane gathers --------------------------
     li = jax.lax.broadcasted_iota(jnp.int32, (PC, 128), 1)
     offw = off_ref[:][:, None].astype(jnp.uint32)  # 8-bit offsets per hash
-    h_of = jnp.minimum(li // W, H - 1)
-    off_j = (offw >> (8 * h_of).astype(jnp.uint32)) & jnp.uint32(0xFF)
-    # lane j < HW: word j%W of hash j//W; lanes beyond HW replicate the
-    # last hash's offsets (clamped h_of), which stay in [0, 128)
-    idx = off_j.astype(jnp.int32) * W + (li % W)
-    words = _deoffset(planes) + _lg(g[:, 0:128], idx)
+    if W == 1:
+        # lane h < H holds hash h's word; lanes beyond replicate hash H-1
+        sh = (8 * jnp.minimum(li, H - 1)).astype(jnp.uint32)
+        idx = ((offw >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+    else:
+        h_of = jnp.minimum(li // W, H - 1)
+        off_j = (offw >> (8 * h_of).astype(jnp.uint32)) & jnp.uint32(0xFF)
+        # lane j < HW: word j%W of hash j//W; lanes beyond HW replicate the
+        # last hash's offsets (clamped h_of), which stay in [0, 128)
+        idx = off_j.astype(jnp.int32) * W + (li % W)
+    # combine the byte planes BEFORE the lane gather (gather commutes with
+    # the per-lane arithmetic): one dynamic_gather instead of `planes`
+    gcomb = g[:, 0:128]
     for p in range(1, planes):
-        words = words + _lg(g[:, 128 * p:128 * (p + 1)], idx) * (1 << (8 * p))
+        gcomb = gcomb + g[:, 128 * p:128 * (p + 1)] * (1 << (8 * p))
+    words = _deoffset(planes) + _lg(gcomb, idx)
     # words[p, h*W + w] = u32 word w of hash h\'s row (int32 bit pattern)
-
-    # --- presence: every hash row nonzero (lane-gather OR/AND trees) ------
-    nz = (words != 0).astype(jnp.int32)
-    step = W // 2
-    while step >= 1:  # lane h*W = OR over the hash\'s W words
-        nz = nz | _lg(nz, jnp.minimum(li + step, 127))
-        step //= 2
-    ph = nz if W == 1 else _lg(nz, jnp.minimum(li * W, 127))
-    step = H // 2
-    while step >= 1:
-        ph = ph & _lg(ph, jnp.minimum(li + step, 127))
-        step //= 2
-    valid = _lg(ph, jnp.zeros_like(li))  # lane-0 broadcast: [PC, 128] 0/1
-
-    # --- AND across hashes: lane w = AND_h words[h*W + w] ------------------
-    x = words
-    step = W * (H // 2)
-    while step >= W:
-        x = x & _lg(x, jnp.minimum(li + step, 127))
-        step //= 2
 
     qc = qc_ref[:].astype(jnp.int32)  # [PC]; 0 marks padding/out-of-window
     realm_i = (qc > 0).astype(jnp.int32)
-    vrow = valid[:, 0] * realm_i  # [PC] 0/1
 
-    # --- unpack and-bits -> per-color counts ------------------------------
-    rep = _lg(x, jnp.minimum(li // 32, W - 1))  # lane c = and-word c//32
+    # --- presence: every hash row nonzero ---------------------------------
+    # Needed only for the uniq_ref -1/-2 encoding (n_valid): a probe with an
+    # absent hash row ANDs to all-zero words, so vbits/nhits self-mask.
+    if W == 1:
+        # one tiny MXU dot replaces the lane-gather AND tree: count the
+        # nonzero hash words (lanes < H) and compare against H
+        nz8 = (words != 0).astype(jnp.int8)
+        presm = (jax.lax.broadcasted_iota(jnp.int32, (128, 8), 0) < H
+                 ).astype(jnp.int8)
+        pres = jax.lax.dot_general(
+            nz8, presm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)[:, 0]
+        vrow = (pres == H).astype(jnp.int32) * realm_i
+    else:
+        nz = (words != 0).astype(jnp.int32)
+        step = W // 2
+        while step >= 1:  # lane h*W = OR over the hash\'s W words
+            nz = nz | _lg(nz, jnp.minimum(li + step, 127))
+            step //= 2
+        ph = _lg(nz, jnp.minimum(li * W, 127))
+        step = H // 2
+        while step >= 1:
+            ph = ph & _lg(ph, jnp.minimum(li + step, 127))
+            step //= 2
+        vrow = ph[:, 0] * realm_i  # [PC] 0/1
+
+    # --- AND across hashes: lane w = AND_h words[h*W + w] ------------------
+    if W == 1:
+        # static lane-slice broadcasts instead of dynamic-gather tree: the
+        # replicated and-word is all the unpack below needs
+        rep = jnp.broadcast_to(words[:, 0:1], (PC, 128))
+        for h in range(1, H):
+            rep = rep & jnp.broadcast_to(words[:, h:h + 1], (PC, 128))
+    else:
+        x = words
+        step = W * (H // 2)
+        while step >= W:
+            x = x & _lg(x, jnp.minimum(li + step, 127))
+            step //= 2
+        rep = _lg(x, jnp.minimum(li // 32, W - 1))  # lane c = and-word c//32
     bits = (rep >> (li % 32)) & 1
-    mi = valid * realm_i[:, None] * (li < CW).astype(jnp.int32)
-    vbits = bits * mi
-    counts_scratch[:] = counts_scratch[:] + vbits
+    # absent-row probes already have bits == 0 (AND over an all-zero row),
+    # so only padding (qc == 0) and the CW lane replication need masking
+    mi = realm_i[:, None] * (li < CW).astype(jnp.int32)
+    vb8 = (bits * mi).astype(jnp.int8)
+
+    # per-color counts: contract the probe axis on the MXU instead of a
+    # [PC, 128] scratch read-modify-write (every row of csum is the column
+    # sum; the scratch shrinks to [8, 128])
+    ones8 = jnp.ones((8, PC), dtype=jnp.int8)
+    csum = jax.lax.dot_general(
+        ones8, vb8, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)  # [8, 128]
+    counts_scratch[:] = counts_scratch[:] + csum
 
     # nhits and colorsum in one int8 MXU contraction (cross-lane VPU
     # reductions are log-depth shuffle chains; the dot is cheaper)
@@ -178,7 +216,7 @@ def _stream_kernel(
     redm = ((cols128 == 0).astype(jnp.int32)
             + (cols128 == 1).astype(jnp.int32) * rows128).astype(jnp.int8)
     red = jax.lax.dot_general(
-        vbits.astype(jnp.int8), redm, (((1,), (0,)), ((), ())),
+        vb8, redm, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)  # [:, 0] = nhits, [:, 1] = colorsum
     nhits = red[:, 0]
     colorsum = red[:, 1]
@@ -202,7 +240,8 @@ def _stream_kernel(
 
     @pl.when(j == n_chunks - 1)
     def _final():
-        counts_ref[0, :] = jnp.sum(counts_scratch[:], axis=0)
+        # every scratch row holds the same accumulated column sum
+        counts_ref[0, :] = counts_scratch[0, :]
 
 
 @partial(
@@ -229,7 +268,7 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             pl.BlockSpec((cp, HIST_W), lambda j, tb: (0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((PC, 128), jnp.int32),
+            pltpu.VMEM((8, 128), jnp.int32),
         ],
     )
     return pl.pallas_call(

@@ -113,6 +113,25 @@ def test_fused_matches_generic(v3_engine):
     assert res_f.freq_stats() == res_g.freq_stats()
 
 
+def test_fused_multi_round_compaction(v3_engine):
+    """filter_t=3 drives TWO pairwise-compaction rounds (4x slot reduction)
+    in ops/fused_reads.py; outputs must match the generic path exactly."""
+    packed, lens = _genome_reads(R=4000, L=120, seed=11)
+    res_f, n_f = v3_engine.search_reads(packed, lens, k=27, L=120, filter_t=3)
+    v3_engine._stream = False
+    try:
+        res_g, n_g = v3_engine.search_reads(
+            packed, lens, k=27, L=120, filter_t=3
+        )
+    finally:
+        v3_engine._stream = True
+    assert n_f == n_g
+    assert (res_f.counts == res_g.counts).all()
+    assert res_f.all_valid == res_g.all_valid
+    assert (res_f.and_all == res_g.and_all).all()
+    assert res_f.freq_stats() == res_g.freq_stats()
+
+
 def test_fused_stride_and_short_reads(v3_engine):
     packed, lens = _genome_reads(R=1200, L=120, seed=5)
     lens = lens.copy()
