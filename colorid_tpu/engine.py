@@ -114,7 +114,7 @@ class QueryEngine:
             self._rid_floor = 65536
         self._stream = False
         if (
-            self.bv in (2, 3)  # split-lane placements
+            self.bv in (2, 3, 4)  # split-lane placements
             and index.num_hash in (1, 2, 4)  # the kernel's gather trees
             and self.wpad <= 4
             and index.n_colors <= 127
@@ -316,6 +316,78 @@ class QueryEngine:
                 self._stream = True
         return self._collect(stats, hist, oc_buf, of_buf, capO, qcounts)
 
+    def search_keys_dev(
+        self,
+        pk_dev,  # uint32 [P, 2] device-resident packed k-mers
+        qc_dev,  # uint16 [P] device-resident clipped frequencies (0 = pad)
+        qcounts_host: np.ndarray,  # int32 [P] host copy (overflow resolve)
+        k: int,
+    ) -> SearchResult | None:
+        """search_keys over a device-resident, pre-padded query batch.
+
+        The timed analogue of the reference's search span
+        (batch_search_pe.rs:45-83): there the query k-mer count-map is
+        already in host RAM when the span starts; here the packed k-mers
+        are already in HBM. One sorted-stream dispatch covers the whole
+        batch and everything but the (rare) overflow list is fetched in a
+        single D2H round trip. P must be a multiple of the stream chunk
+        (ops/stream_query.PC) and the index must be stream-eligible.
+        Returns None if the kernel's residual/overflow capacity was
+        exceeded (caller reruns via the generic host path)."""
+        from .ops.stream_query import PC, stream_accumulate_hash
+
+        if not self._stream:
+            raise ValueError("search_keys_dev requires a stream-eligible index")
+        P = pk_dev.shape[0]
+        if P % PC:
+            raise ValueError(f"P must be a multiple of {PC}")
+        C = self.index.n_colors
+        W = self.index.words_per_row
+        stats = jnp.concatenate(
+            [
+                jnp.zeros(C, dtype=jnp.int32),
+                jnp.full(self.wpad, -1, dtype=jnp.int32),
+                jnp.array([1, 0], dtype=jnp.int32),
+            ]
+        )
+        hist = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
+        capO = _round_up(P, 1024)
+        oc_buf = jnp.zeros(capO, dtype=jnp.int32)
+        of_buf = jnp.zeros(capO, dtype=jnp.int32)
+        stats, hist, oc_buf, of_buf, nd = stream_accumulate_hash(
+            stats, hist, oc_buf, of_buf,
+            self.blocks2, self._blocks_bp,
+            pk_dev, qc_dev, jnp.int32(0),
+            wpad=self.wpad, k=k, num_hash=self.index.num_hash,
+            bloom_size=self.index.bloom_size, rpb=self.rpb,
+            n_colors=C, bv=self.bv,
+        )
+        # ONE D2H round trip for stats + drop guard + histogram (the tunnel
+        # RTT is 100-500ms; per-array fetches would dominate the span)
+        host = np.asarray(
+            jnp.concatenate([stats, nd[None], hist.reshape(-1)])
+        )
+        sl = C + self.wpad + 2
+        if int(host[sl]) > 0:  # capacity exceeded: generic path rerun
+            return None
+        st, hist_np = host[:sl], host[sl + 1 :].reshape(C, FREQ_CAP)
+        counts = st[:C].astype(np.int64)
+        and_all = st[C : C + W].astype(np.uint32)
+        all_valid = bool(st[C + self.wpad])
+        n_over = int(st[C + self.wpad + 1])
+        none = np.zeros(0, dtype=np.int32)
+        if n_over:
+            kp = min(_round_up(n_over, 1024), capO)
+            over_c = np.asarray(oc_buf[:kp])[:n_over]
+            over_v = np.asarray(of_buf[:kp])[:n_over]
+            over_f = qcounts_host[over_v].astype(np.int32)
+        else:
+            over_c = over_f = none
+        return SearchResult(
+            counts, all_valid, and_all, hist_np.astype(np.int64),
+            over_c, over_f,
+        )
+
     def _collect(self, stats, hist, oc_buf, of_buf, capO, qcounts=None):
         """Fetch the device accumulators into a SearchResult. With a host
         ``qcounts`` copy, overflow slots hold global k-mer indices resolved
@@ -376,7 +448,7 @@ class QueryEngine:
                 "device indexing; split the batch (R * (L - k + 1) must stay "
                 "under 2^31)"
             )
-        if self._stream and self.bv == 3:
+        if self._stream and self.bv in (3, 4):  # value-addressed (monotone)
             out = self._search_reads_fused(
                 reads_packed, lens, valid_bits, k=k, L=L, filter_t=filter_t,
                 d=d,
@@ -386,9 +458,13 @@ class QueryEngine:
         from .ops.extract import extract_count
         from .ops.query import query_accumulate_hash_scan_exact
 
+        lens_j = (
+            lens if isinstance(lens, jax.Array)
+            else jnp.asarray(np.asarray(lens, dtype=np.int32))
+        )
         pk, qc, n_u = extract_count(
             jnp.asarray(reads_packed),
-            jnp.asarray(np.asarray(lens, dtype=np.int32)),
+            lens_j,
             None if valid_bits is None else jnp.asarray(valid_bits),
             k=k, L=L, filter_t=filter_t, d=d,
         )
@@ -479,15 +555,22 @@ class QueryEngine:
         capO = OVER_CAP + RES_CAP
         oc_buf = jnp.zeros(capO, dtype=jnp.int32)
         of_buf = jnp.zeros(capO, dtype=jnp.int32)
+        # device-resident reads/lens pass through untouched (np.asarray on a
+        # jax array would pull it D2H every call)
+        lens_j = (
+            lens if isinstance(lens, jax.Array)
+            else jnp.asarray(np.asarray(lens, dtype=np.int32))
+        )
         stats, hist, oc_buf, of_buf, n_drop, n_u = fused_search_reads(
             stats, hist, oc_buf, of_buf,
             self.blocks2, self._blocks_bp,
             jnp.asarray(reads_packed),
-            jnp.asarray(np.asarray(lens, dtype=np.int32)),
+            lens_j,
             None if valid_bits is None else jnp.asarray(valid_bits),
             k=k, L=L, filter_t=filter_t, d=d,
             wpad=self.wpad, num_hash=self.index.num_hash,
             bloom_size=self.index.bloom_size, rpb=self.rpb, n_colors=C,
+            bv=self.bv,
         )
         # ONE D2H round trip for everything but the (rare) overflow list:
         # the tunnel RTT is 100-500ms, so per-array fetches would dominate

@@ -34,9 +34,23 @@ Monotone addressing means a batch sorted by k-mer value (which the device
 extraction pipeline already produces for counting, ops/extract.py) is
 ALSO sorted by block — the sorted-stream Pallas kernel gets perfect
 window locality with no second sort — and the offset hash is ~20 VPU ops
-instead of ~2000. Canonical genome k-mers are near-uniform in value space,
-so block loads stay Poisson like a hashed placement; this is a quality
-trade documented for an already reference-incompatible opt-in format.
+instead of ~2000.
+
+Version 4 corrects v3's load skew. CANONICAL k-mer values are NOT uniform:
+canonical = min(v, rc(v)) with v and rc(v) near-independent uniforms, so
+the value density is ~2(1-x) on [0, 1) — linearly falling to zero at the
+top of the keyspace. Under v3's linear Lemire map that overloads low
+blocks ~2x (worse FP) and leaves high blocks nearly empty (sparse probe
+regions that blow the stream kernel's residual capacity). v4 routes the
+value through the canonical CDF first:
+
+    F(x)  = 1 - (1-x)^2                     (monotone, so sorting survives)
+    block = floor(n_blocks * F(v / 2^2k))
+
+making expected block loads uniform for near-uniform genomes (residual
+content bias, e.g. GC skew, remains — same as any value-addressed map).
+This is a quality trade documented for an already reference-incompatible
+opt-in format.
 """
 
 from __future__ import annotations
@@ -64,8 +78,9 @@ def v2_supported(wpad: int, num_hash: int) -> bool:
 
 
 def v3_supported(wpad: int, num_hash: int, k: int) -> bool:
-    """Value-addressed placement additionally needs the 2-bit value to fit
-    one u64 (k <= 32; the same envelope as device hashing)."""
+    """Value-addressed placement (v3 and the density-corrected v4)
+    additionally needs the 2-bit value to fit one u64 (k <= 32; the same
+    envelope as device hashing)."""
     return v2_supported(wpad, num_hash) and 4 <= k <= 32
 
 
@@ -85,20 +100,43 @@ def fmix64(v: np.ndarray) -> np.ndarray:
     return v
 
 
+def _mulhi64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """High 64 bits of a u64 x u64 product (vectorized, 32-bit halves)."""
+    a = a.astype(np.uint64)
+    b = b.astype(np.uint64)
+    a_hi, a_lo = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+    b_hi, b_lo = b >> np.uint64(32), b & np.uint64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        ll = a_lo * b_lo
+        lh = a_lo * b_hi
+        hl = a_hi * b_lo
+        hh = a_hi * b_hi
+        mid = (ll >> np.uint64(32)) + (lh & np.uint64(0xFFFFFFFF)) + (
+            hl & np.uint64(0xFFFFFFFF)
+        )
+        return hh + (lh >> np.uint64(32)) + (hl >> np.uint64(32)) + (
+            mid >> np.uint64(32)
+        )
+
+
 def v3_block_offsets(
-    vals: np.ndarray, k: int, num_hash: int, bloom_size: int, rpb: int
+    vals: np.ndarray, k: int, num_hash: int, bloom_size: int, rpb: int,
+    version: int = 3,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(block [N], offs [N, H]) of the v3 placement for u64 2-bit values."""
+    """(block [N], offs [N, H]) of the value-addressed placements for u64
+    2-bit values. version 3 = linear Lemire map; version 4 routes through
+    the canonical-value CDF F(x) = 1-(1-x)^2 first (uniform expected block
+    loads, module docstring)."""
     n_blocks = np.uint64(bloom_size // rpb)
     grp = rpb // num_hash
     g_bits = grp.bit_length() - 1
     x = vals.astype(np.uint64) << np.uint64(64 - 2 * k)
-    # (x * n_blocks) >> 64 without 128-bit ints: split x into 32-bit halves
-    x_hi = x >> np.uint64(32)
-    x_lo = x & np.uint64(0xFFFFFFFF)
-    with np.errstate(over="ignore"):
-        mid = (x_lo * n_blocks) >> np.uint64(32)
-        block = (x_hi * n_blocks + mid) >> np.uint64(32)
+    if version == 4:
+        # F(x) ~= (2^64-1 - mulhi(y, y)) / 2^64 with y = 2^64-1 - x:
+        # monotone nondecreasing in x, and ~2x - x^2 to within 2^-32
+        y = ~x
+        x = ~_mulhi64(y, y)
+    block = _mulhi64(x, np.broadcast_to(n_blocks, x.shape))
     m = fmix64(vals)
     offs = np.empty((vals.shape[0], num_hash), dtype=np.int64)
     for h in range(num_hash):
@@ -147,12 +185,13 @@ def blocked_rows_host(
     Bloom filter; marginally different FP correlation than v1, same size).
     version 3 (value-addressed split-lane): block monotone in the k-mer
     value, offsets from fmix64 — see module docstring.
+    version 4: v3 with the canonical-density-corrected block map.
     """
     n = keys.shape[0]
-    if version == 3:
+    if version in (3, 4):
         vals = pack_keys_u64(keys)
         block, offs = v3_block_offsets(
-            vals, keys.shape[1], num_hash, bloom_size, rpb
+            vals, keys.shape[1], num_hash, bloom_size, rpb, version=version
         )
         return block[:, None] * np.int64(rpb) + offs
     h = _raw_hashes(keys, num_hash)

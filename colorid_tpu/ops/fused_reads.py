@@ -40,7 +40,7 @@ SENT = U32(0xFFFFFFFF)
     donate_argnums=(0, 1, 2, 3),
     static_argnames=(
         "k", "L", "filter_t", "d", "wpad", "num_hash", "bloom_size", "rpb",
-        "n_colors",
+        "n_colors", "bv",
     ),
 )
 def fused_search_reads(
@@ -63,6 +63,7 @@ def fused_search_reads(
     bloom_size: int,
     rpb: int,
     n_colors: int,
+    bv: int = 3,
 ):
     """Same donated stats/hist/overflow contract as stream_accumulate_hash,
     in exact mode (overflow slots record the frequency itself). Returns
@@ -126,7 +127,8 @@ def fused_search_reads(
         qc = jnp.where(pick, qc2[:, 1], qc2[:, 0])
         keep = k2[:, 0] | k2[:, 1]
 
-    blk, offs = _v3_blkoff(s_lo, s_hi, k, num_hash, bloom_size, rpb)
+    blk, offs = _v3_blkoff(s_lo, s_hi, k, num_hash, bloom_size, rpb,
+                           version=bv)
     offp = pack_offsets(offs)
     stats, hist, over_col, over_freq, n_drop = _stream_core(
         stats, hist, over_col, over_freq, blocks2, blocks_bp,

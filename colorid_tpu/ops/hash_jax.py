@@ -384,14 +384,44 @@ def _fmix64_device(v):
     return v
 
 
-def _v3_blkoff(lo, hi, k: int, num_hash: int, bloom_size: int, rpb: int):
-    """Blocked-v3 placement from 2-bit packed k-mers, on device: block int32
-    [N] (MONOTONE in the (hi, lo) value) + per-hash in-block offsets int32
-    [N, H]. Twin of ops/blocked.py::v3_block_offsets."""
+def _sqr64_hi(a):
+    """High 64 bits of the 128-bit square of a 64-bit (lo, hi) limb pair.
+
+    a^2 = p0 + (p1 << 33) + (p3 << 64) with p0 = lo^2, p1 = lo*hi,
+    p3 = hi^2; the shifted-p1 limbs are l1..l3 and carries propagate
+    limbwise into (w2, w3)."""
+    alo, ahi = a
+    p0l, p0h = _mul32(alo, alo)
+    p1l, p1h = _mul32(alo, ahi)
+    p3l, p3h = _mul32(ahi, ahi)
+    l1 = p1l << U32(1)
+    l2 = (p1h << U32(1)) | (p1l >> U32(31))
+    l3 = p1h >> U32(31)
+    w1 = p0h + l1
+    c1 = (w1 < p0h).astype(U32)  # carry out of limb 1
+    t = l2 + p3l
+    c2 = (t < l2).astype(U32)
+    w2 = t + c1
+    c2 = c2 + (w2 < t).astype(U32)
+    w3 = l3 + p3h + c2
+    return w2, w3
+
+
+def _v3_blkoff(lo, hi, k: int, num_hash: int, bloom_size: int, rpb: int,
+               version: int = 3):
+    """Value-addressed blocked placement from 2-bit packed k-mers, on
+    device: block int32 [N] (MONOTONE in the (hi, lo) value) + per-hash
+    in-block offsets int32 [N, H]. Twin of ops/blocked.py::
+    v3_block_offsets. version 4 routes the value through the canonical CDF
+    F(x) = 1-(1-x)^2 for uniform block loads (ops/blocked.py docstring)."""
     n_blocks = bloom_size // rpb
     grp = rpb // num_hash
     g_bits = grp.bit_length() - 1
     x = _shl64((lo, hi), 64 - 2 * k)
+    if version == 4:
+        y = (~x[0], ~x[1])
+        s2, s3 = _sqr64_hi(y)
+        x = (~s2, ~s3)
     _, _, w2, _ = _mul64_full(x, _c(n_blocks))  # (x * nb) >> 64 < nb < 2^31
     block = w2.astype(jnp.int32)
     m = _fmix64_device((lo, hi))

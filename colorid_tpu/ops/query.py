@@ -208,8 +208,9 @@ def _device_blkoff(p_lo, p_hi, k: int, num_hash: int, bloom_size: int,
         _xxh3_device,
     )
 
-    if version == 3:
-        return _v3_blkoff(p_lo, p_hi, k, num_hash, bloom_size, rpb)
+    if version in (3, 4):
+        return _v3_blkoff(p_lo, p_hi, k, num_hash, bloom_size, rpb,
+                          version=version)
     limbs = _limbs_from_packed(p_lo, p_hi, k)
     hashes = [_xxh3_device(limbs, k, seed) for seed in range(num_hash)]
     n_blocks = bloom_size // rpb

@@ -49,7 +49,14 @@ from .query import FREQ_CAP, _accumulate_one, _device_blkoff
 T = 128  # matrix tile rows (512-byte blocks) per window half
 PC = 2048  # probes per grid step (v5e sweep: 2048 ~6% over 1024, 4096 flat)
 HIST_W = 256  # in-kernel uniq-hit frequency histogram width (<= FREQ_CAP)
-RES_CAP = 8192  # out-of-window probes re-run via the generic path
+# Out-of-window probes re-run via the generic gather. Real genome k-mer
+# values are non-uniform at coarse scales (GC/content bias), so value-
+# addressed probe streams have coldspots where a PC-probe chunk spans far
+# more than the 2-tile window; at bench density (~25 distinct probes per
+# block) that is ~2.5-3.5% of a 10M-probe batch (measured 2026-08-20:
+# 250-350k of 10M). The residual gather costs ~30ms per 2^19 probes —
+# cheap insurance against a None fallback that would rerun everything.
+RES_CAP = 1 << 19
 OVER_CAP = 1 << 18  # uniq-hit frequency-overflow entries per segment
 
 # sum over byte planes of the +128 de-offset corrections: 128 * (1 + 256 +
@@ -357,6 +364,14 @@ def _stream_core(
     an overflow payload per probe (a global k-mer index, or the exact
     frequency itself in exact mode). Runs the Pallas kernel over 2-tile
     windows and merges the accumulators; returns (..., n_dropped)."""
+    # The W>1 presence/AND lane-gather trees below (_stream_kernel) halve a
+    # step from H//2 and are exact only for power-of-two num_hash (e.g. H=3,
+    # W=2 would AND hashes 0 and 1 but skip hash 2); the W==1 branches handle
+    # arbitrary H. The engine gates eligibility the same way (engine.py).
+    if wpad > 1 and (num_hash & (num_hash - 1)) != 0:
+        raise ValueError(
+            "stream kernel requires power-of-two num_hash when wpad > 1"
+        )
     P = blk_s.shape[0]
     C = n_colors
     cp = 32 if C < 32 else 128

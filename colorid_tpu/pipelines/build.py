@@ -189,12 +189,13 @@ def build_index(
         wpad = 1 << (max(W, 1) - 1).bit_length()
         rpb = rows_per_block(wpad)
         bloom_size = pad_bloom_size(bloom_size)
-        # value-addressed split-lane (v3) whenever the key length and hash
-        # count permit (sorted probes hit the matrix in block order with no
-        # re-sort, ops/stream_query.py); v2 split-lane as the XXH3 fallback
+        # value-addressed split-lane (v4: density-corrected block map)
+        # whenever the key length and hash count permit (sorted probes hit
+        # the matrix in block order with no re-sort, ops/stream_query.py);
+        # v2 split-lane as the XXH3 fallback
         key_len = m_size if m_size else k_size
         if v3_supported(wpad, num_hash, key_len):
-            bver = 3
+            bver = 4
         elif v2_supported(wpad, num_hash):
             bver = 2
         else:

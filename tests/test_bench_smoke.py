@@ -20,8 +20,12 @@ def test_bench_cold_cache_smoke(tmp_path):
     env.update(
         BENCH_CACHE_DIR=str(tmp_path / "cache"),
         JAX_COMPILATION_CACHE_DIR=str(tmp_path / "jaxcache"),
-        BENCH_BLOOM="2000000",
-        BENCH_N_READS="2000",
+        # density note: PRIMARY A (sorted-stream over device-resident
+        # k-mers) needs >= ~16 probes per 128-block tile or its residual
+        # capacity trips; the 3 phage genomes only hold ~90k distinct
+        # 31-mers, so the bloom shrinks to 3906 blocks (~23 probes/block)
+        BENCH_BLOOM="499968",
+        BENCH_N_READS="8000",
         BENCH_MAX_GENOMES="3",
         BENCH_RID_READS="200",
         BENCH_DEADLINE_S="280",
@@ -46,7 +50,11 @@ def test_bench_cold_cache_smoke(tmp_path):
     assert rec["unit"] == "kmers/s"
     assert rec["value"] > 0
     assert rec["vs_baseline"] > 0
-    # the reads-path primary (device extraction) must be the measured path,
-    # not the classic fallback
+    # both primaries must have measured (stream + fused reads), the
+    # in-bench parity check must have passed, and read_id must report
+    assert rec.get("stream_kmers_per_s", 0) > 0, proc.stderr[-3000:]
+    assert rec.get("fused_kmers_per_s", 0) > 0, proc.stderr[-3000:]
+    assert rec.get("read_id_pairs_per_s", 0) > 0, proc.stderr[-3000:]
     assert "reads trial" in proc.stderr, proc.stderr[-3000:]
-    assert "falling back to classic" not in proc.stderr
+    assert "per-color counts identical" in proc.stderr, proc.stderr[-3000:]
+    assert "PARITY MISMATCH" not in proc.stderr

@@ -18,11 +18,12 @@ from colorid_tpu.ops.blocked import (
 )
 
 REFS = "/root/reference/test_data/refs"
+ACGT_B = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def _keys(n, k, seed=0):
     rng = np.random.default_rng(seed)
-    return rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(n, k))
+    return rng.choice(ACGT_B, size=(n, k))
 
 
 @pytest.mark.parametrize(
@@ -30,7 +31,8 @@ def _keys(n, k, seed=0):
     [(31, 4, 50_000_000), (21, 2, 30_000_128), (15, 1, 1_000_064),
      (32, 4, 12_800), (4, 4, 6400)],
 )
-def test_v3_host_device_match(k, H, bloom):
+@pytest.mark.parametrize("ver", [3, 4])
+def test_v3_host_device_match(k, H, bloom, ver):
     import jax.numpy as jnp
 
     from colorid_tpu.ops.hash_jax import pack_keys_host
@@ -38,19 +40,20 @@ def test_v3_host_device_match(k, H, bloom):
 
     assert v3_supported(1, H, k)
     keys = _keys(500, k)
-    rows_h = blocked_rows_host(keys, H, bloom, 128, version=3)
+    rows_h = blocked_rows_host(keys, H, bloom, 128, version=ver)
     pk = pack_keys_host(keys)
     rows_d = np.asarray(
         _device_rows(jnp.asarray(pk[:, 0]), jnp.asarray(pk[:, 1]), k, H,
-                     bloom, 128, 3)
+                     bloom, 128, ver)
     )
     assert (rows_h == rows_d).all()
 
 
-def test_v3_block_monotone_and_split_lane():
+@pytest.mark.parametrize("ver", [3, 4])
+def test_v3_block_monotone_and_split_lane(ver):
     k, H, bloom, rpb = 31, 4, 50_000_000, 128
     keys = _keys(5000, k, seed=1)
-    rows = blocked_rows_host(keys, H, bloom, rpb, version=3)
+    rows = blocked_rows_host(keys, H, bloom, rpb, version=ver)
     vals = pack_keys_u64(keys)
     order = np.argsort(vals, kind="stable")
     blk = rows[:, 0] // rpb
@@ -59,6 +62,31 @@ def test_v3_block_monotone_and_split_lane():
     for h in range(H):
         off = rows[:, h] % rpb
         assert ((off >= h * grp) & (off < (h + 1) * grp)).all()
+
+
+def test_v4_block_load_balance():
+    """CANONICAL k-mer values pile up low in the keyspace (density ~2(1-x));
+    the v4 CDF-corrected map must spread them near-uniformly over blocks
+    while v3's linear map shows the ~2x low-block overload + empty top."""
+    from colorid_tpu.core.dna import COMP
+
+    rng = np.random.default_rng(9)
+    k, H, bloom, rpb = 31, 4, 1_280_000, 128
+    fwd = ACGT_B[rng.integers(0, 4, (200_000, k))]
+    rc = COMP[fwd[:, ::-1]]
+    canon = np.where(
+        (pack_keys_u64(fwd) <= pack_keys_u64(rc))[:, None], fwd, rc
+    )
+    nb = bloom // rpb
+    decis = []
+    for ver in (3, 4):
+        rows = blocked_rows_host(canon, H, bloom, rpb, version=ver)
+        blk = rows[:, 0] // rpb
+        h = np.bincount(np.minimum(blk * 10 // nb, 9), minlength=10)
+        decis.append(h / h.sum())
+    v3d, v4d = decis
+    assert v3d[0] > 1.6 * v3d[-1]  # v3: top decile starved
+    assert v4d.max() < 1.15 * v4d.min()  # v4: near-uniform deciles
 
 
 def _phage_refs():
@@ -76,7 +104,7 @@ def v3_engine():
 
     idx = build_index(_phage_refs(), 750_000, 4, 27, verbose=False,
                       blocked=True)
-    assert idx.blocked == 3
+    assert idx.blocked == 4  # density-corrected value addressing (default)
     return QueryEngine(idx)
 
 
@@ -113,19 +141,23 @@ def test_fused_matches_generic(v3_engine):
     assert res_f.freq_stats() == res_g.freq_stats()
 
 
-def test_fused_multi_round_compaction(v3_engine):
+@pytest.mark.parametrize("ft,R", [(3, 4000), (7, 12000)])
+def test_fused_multi_round_compaction(v3_engine, ft, R):
     """filter_t=3 drives TWO pairwise-compaction rounds (4x slot reduction)
-    in ops/fused_reads.py; outputs must match the generic path exactly."""
-    packed, lens = _genome_reads(R=4000, L=120, seed=11)
-    res_f, n_f = v3_engine.search_reads(packed, lens, k=27, L=120, filter_t=3)
+    in ops/fused_reads.py and filter_t=7 the capped THREE rounds (8x, the
+    deepest halving plus its PC<<3 padding interaction); outputs must match
+    the generic path exactly."""
+    packed, lens = _genome_reads(R=R, L=120, seed=11)
+    res_f, n_f = v3_engine.search_reads(packed, lens, k=27, L=120, filter_t=ft)
     v3_engine._stream = False
     try:
         res_g, n_g = v3_engine.search_reads(
-            packed, lens, k=27, L=120, filter_t=3
+            packed, lens, k=27, L=120, filter_t=ft
         )
     finally:
         v3_engine._stream = True
     assert n_f == n_g
+    assert n_f > 0  # filter must leave survivors or the case proves nothing
     assert (res_f.counts == res_g.counts).all()
     assert res_f.all_valid == res_g.all_valid
     assert (res_f.and_all == res_g.and_all).all()
