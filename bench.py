@@ -211,12 +211,10 @@ def _watchdog_loop():
                 else "total deadline exceeded"
             )
             log(f"watchdog: {why}")
-            if any(STATE.get(k) for k in ("stream", "fused", "classic")):
-                emit_json()
-                sys.stdout.flush()
-                sys.stderr.flush()
-                os._exit(0)
-            if ATTEMPT + 1 < MAX_ATTEMPTS and remaining() > 120:
+            # prefer a fresh process while budget allows: recorded
+            # measurements live in the state file, so nothing is lost and
+            # the remaining phases get another chance on a new connection
+            if ATTEMPT + 1 < MAX_ATTEMPTS and remaining() > 150:
                 log(f"watchdog: re-exec (attempt {ATTEMPT + 1})")
                 env = dict(
                     os.environ,
@@ -228,6 +226,11 @@ def _watchdog_loop():
                     os.execve(sys.executable, [sys.executable, *sys.argv], env)
                 except Exception:
                     pass
+            if any(STATE.get(k) for k in ("stream", "fused", "classic")):
+                emit_json()
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(0)
             log("watchdog: no measurement and no budget to retry")
             sys.stderr.flush()
             os._exit(1)
@@ -449,14 +452,46 @@ def phase_generic(engine, keys, qcounts, packed):
     record("classic", value)
 
 
+# Fused-phase read cap: dispatches spanning ~48M k-mer windows (400k
+# reads) wedge the current axon tunnel/server (observed 4/4 on
+# 2026-08-20; 24M-window dispatches complete in seconds), so the fused
+# phase measures a 200k-read prefix by default with its own numerator.
+FUSED_READS = int(os.environ.get("BENCH_FUSED_READS", 200_000))
+
+
+def _expected_unique(reads_packed) -> int:
+    """Host-side independent count of the distinct filtered k-mers in the
+    read subset (NativeCounter over the unpacked bases) — the parity
+    reference for the fused phase's device counting."""
+    from colorid_tpu import native
+
+    R, Lw = reads_packed.shape
+    shifts = (2 * (15 - np.arange(16, dtype=np.uint32))).astype(np.uint32)
+    codes = (
+        (reads_packed[:, :, None] >> shifts) & np.uint32(3)
+    ).reshape(R, Lw * 16)[:, :READ_LEN].astype(np.uint8)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)[codes]
+    nc = native.NativeCounter(K)
+    if not nc.add_many(np.ascontiguousarray(bases)):
+        raise RuntimeError("unexpected fallback unpacking bench reads")
+    ks, _ = nc.dump(1)
+    return ks.shape[0]
+
+
 def phase_fused(engine, keys, reads_packed) -> np.ndarray | None:
     """PRIMARY B: fused reads path (extraction + counting + query in one
-    dispatch) over device-resident 2-bit packed reads."""
+    dispatch) over device-resident 2-bit packed reads. Returns the
+    per-color counts when the full read set was used (comparable with the
+    stream phase), else None after an independent host-count check."""
     import jax
 
-    lens = np.full(reads_packed.shape[0], READ_LEN, dtype=np.int32)
+    R = min(FUSED_READS, reads_packed.shape[0])
+    sub = reads_packed[:R]
+    full = R == reads_packed.shape[0]
+    n_expected = keys.shape[0] if full else _expected_unique(sub)
+    lens = np.full(R, READ_LEN, dtype=np.int32)
     with step("fused H2D", 150):
-        reads_dev = jax.device_put(reads_packed)
+        reads_dev = jax.device_put(sub)
         lens_dev = jax.device_put(lens)
         np.asarray(reads_dev[:1, :1])
     holder = {}
@@ -471,14 +506,14 @@ def phase_fused(engine, keys, reads_packed) -> np.ndarray | None:
     with step("fused warm (compile + first run)", 300):
         run()
     res, n_u = holder["out"]
-    if n_u != keys.shape[0]:  # device counting parity guard
-        raise RuntimeError(f"device count mismatch: {n_u} != {keys.shape[0]}")
+    if n_u != n_expected:  # device counting parity guard
+        raise RuntimeError(f"device count mismatch: {n_u} != {n_expected}")
     with step("reads trials", 120):
         best = _trials("reads", run, 3, 90)
-    value = keys.shape[0] / best
-    log(f"fused reads: {value / 1e6:.2f} M kmers/s")
+    value = n_u / best
+    log(f"fused reads ({R} reads): {value / 1e6:.2f} M kmers/s")
     record("fused", value)
-    return holder["out"][0].counts
+    return holder["out"][0].counts if full else None
 
 
 def phase_classic(keys, qcounts, packed) -> None:
@@ -589,7 +624,11 @@ def main():
 
     # -- PRIMARY A: stream (device-resident k-mers) -------------------------
     try:
-        if bengine._stream and remaining() > 60:
+        if ATTEMPT > 0 and STATE.get("stream"):
+            # a previous attempt already banked this number; spend the
+            # remaining budget on the phases that stalled
+            log(f"stream already measured ({STATE['stream']:.0f}); skipping")
+        elif bengine._stream and remaining() > 60:
             counts_a = phase_stream(bengine, keys, qcounts, packed)
         elif not bengine._stream:
             log("stream path ineligible; skipping PRIMARY A")

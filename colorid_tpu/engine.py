@@ -116,8 +116,7 @@ class QueryEngine:
         if (
             self.bv in (2, 3, 4)  # split-lane placements
             and index.num_hash in (1, 2, 4)  # the kernel's gather trees
-            and self.wpad <= 4
-            and index.n_colors <= 127
+            and self.wpad <= 32  # kernel color capacity: 32*wpad <= 1024
             and os.environ.get("COLORID_STREAM", "1") != "0"
         ):
             from .ops.stream_query import byte_plane_blocks

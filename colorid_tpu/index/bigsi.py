@@ -42,8 +42,10 @@ class BigsiIndex:
     # 2 = split-lane blocked (hash h confined to its own lane group, the
     # sorted-stream kernel's layout); 3 = value-addressed split-lane
     # (block monotone in the k-mer value + fmix64 offsets — sorted query
-    # batches stream the matrix in order). Not bit-compatible with the
-    # reference's hash placement — see ops/blocked.py.
+    # batches stream the matrix in order); 4 = value-addressed with the
+    # canonical-density-corrected block map (uniform block loads, the
+    # build default). Not bit-compatible with the reference's hash
+    # placement — see ops/blocked.py.
 
     @property
     def n_colors(self) -> int:

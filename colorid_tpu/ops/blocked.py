@@ -68,12 +68,16 @@ def pad_bloom_size(bloom_size: int) -> int:
 
 def v2_supported(wpad: int, num_hash: int) -> bool:
     """The split-lane (v2) placement needs a power-of-two hash count that
-    divides the rows-per-block evenly (so each hash owns a lane group)."""
+    divides the rows-per-block evenly (so each hash owns a lane group) with
+    at least 2 candidate rows per hash — grp == 1 would make every k-mer in
+    a block set the SAME rows (degenerate Bloom: FP = per-block collision
+    probability). E.g. 1024 colors (wpad 32, rpb 4) supports split-lane for
+    num_hash <= 2; num_hash 4 falls back to the v1 blocked placement."""
     rpb = rows_per_block(wpad)
     return (
         num_hash >= 1
         and (num_hash & (num_hash - 1)) == 0
-        and num_hash <= rpb
+        and num_hash * 2 <= rpb
     )
 
 

@@ -103,6 +103,12 @@ def _deoffset(planes: int) -> np.int32:
     return np.int32(np.uint32(v).astype(np.int64) - ((1 << 32) if v >= (1 << 31) else 0))
 
 
+def _n_color_groups(wpad: int) -> int:
+    """Color-bit capacity is 32*wpad; the per-color epilogue works them in
+    groups of 128 lanes (one vreg of colors per group)."""
+    return max(1, wpad // 4)
+
+
 def _stream_kernel(
     tb_ref, blk_ref, off_ref, qc_ref, tileA_ref, tileB_ref,
     uniq_ref, counts_ref, hist_ref,
@@ -187,46 +193,63 @@ def _stream_kernel(
             step //= 2
         vrow = ph[:, 0] * realm_i  # [PC] 0/1
 
-    # --- AND across hashes: lane w = AND_h words[h*W + w] ------------------
+    # --- AND across hashes + per-color epilogue ----------------------------
+    # nhits/colorsum reduce via one int8 MXU contraction per color group
+    # (cross-lane VPU reductions are log-depth shuffle chains; dots are
+    # cheaper), and per-color counts contract the probe axis on the MXU
+    # instead of a scratch read-modify-write.
+    ones8 = jnp.ones((8, PC), dtype=jnp.int8)
+    rows128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    cols128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    redm = ((cols128 == 0).astype(jnp.int32)
+            + (cols128 == 1).astype(jnp.int32) * rows128).astype(jnp.int8)
     if W == 1:
         # static lane-slice broadcasts instead of dynamic-gather tree: the
         # replicated and-word is all the unpack below needs
         rep = jnp.broadcast_to(words[:, 0:1], (PC, 128))
         for h in range(1, H):
             rep = rep & jnp.broadcast_to(words[:, h:h + 1], (PC, 128))
+        bits = (rep >> (li % 32)) & 1
+        # absent-row probes already have bits == 0 (AND over an all-zero
+        # row), so only padding (qc == 0) and lane replication need masking
+        mi = realm_i[:, None] * (li < CW).astype(jnp.int32)
+        vb8 = (bits * mi).astype(jnp.int8)
+        csum = jax.lax.dot_general(
+            ones8, vb8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)  # [8, 128]
+        counts_scratch[:, 0:128] = counts_scratch[:, 0:128] + csum
+        red = jax.lax.dot_general(
+            vb8, redm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        nhits = red[:, 0]
+        colorsum = red[:, 1]
     else:
         x = words
         step = W * (H // 2)
         while step >= W:
             x = x & _lg(x, jnp.minimum(li + step, 127))
             step //= 2
-        rep = _lg(x, jnp.minimum(li // 32, W - 1))  # lane c = and-word c//32
-    bits = (rep >> (li % 32)) & 1
-    # absent-row probes already have bits == 0 (AND over an all-zero row),
-    # so only padding (qc == 0) and the CW lane replication need masking
-    mi = realm_i[:, None] * (li < CW).astype(jnp.int32)
-    vb8 = (bits * mi).astype(jnp.int8)
-
-    # per-color counts: contract the probe axis on the MXU instead of a
-    # [PC, 128] scratch read-modify-write (every row of csum is the column
-    # sum; the scratch shrinks to [8, 128])
-    ones8 = jnp.ones((8, PC), dtype=jnp.int8)
-    csum = jax.lax.dot_general(
-        ones8, vb8, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)  # [8, 128]
-    counts_scratch[:] = counts_scratch[:] + csum
-
-    # nhits and colorsum in one int8 MXU contraction (cross-lane VPU
-    # reductions are log-depth shuffle chains; the dot is cheaper)
-    rows128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-    cols128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-    redm = ((cols128 == 0).astype(jnp.int32)
-            + (cols128 == 1).astype(jnp.int32) * rows128).astype(jnp.int8)
-    red = jax.lax.dot_general(
-        vb8, redm, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)  # [:, 0] = nhits, [:, 1] = colorsum
-    nhits = red[:, 0]
-    colorsum = red[:, 1]
+        # lanes 0..W-1 of x now hold the and-words; colors beyond 128 lanes
+        # are worked in groups of 128 (and-words 4cg..4cg+3 per group)
+        nhits = jnp.zeros((PC,), dtype=jnp.int32)
+        colorsum = jnp.zeros((PC,), dtype=jnp.int32)
+        for cg in range(_n_color_groups(W)):
+            repg = _lg(x, jnp.minimum(4 * cg + li // 32, W - 1))
+            bits = (repg >> (li % 32)) & 1
+            lim = CW - 128 * cg  # live color-bit lanes in this group
+            mi = realm_i[:, None] * (li < lim).astype(jnp.int32)
+            vb8 = (bits * mi).astype(jnp.int8)
+            csum = jax.lax.dot_general(
+                ones8, vb8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)  # [8, 128]
+            counts_scratch[:, 128 * cg:128 * (cg + 1)] = (
+                counts_scratch[:, 128 * cg:128 * (cg + 1)] + csum
+            )
+            red = jax.lax.dot_general(
+                vb8, redm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            nhits = nhits + red[:, 0]
+            colorsum = colorsum + red[:, 1] + 128 * cg * red[:, 0]
     uniq = (vrow == 1) & (nhits == 1)
     # -1: valid but not a unique hit; -2: invalid/padded (lets the caller
     # count n_valid without a second kernel output)
@@ -259,6 +282,7 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
                  n_colors, cp):
     P = blk_s.shape[0]
     n_chunks = P // PC
+    CGP = 128 * _n_color_groups(wpad)  # color-bit capacity, 128-padded
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
@@ -271,11 +295,11 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
         ],
         out_specs=(
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
-            pl.BlockSpec((8, 128), lambda j, tb: (0, 0)),
+            pl.BlockSpec((8, CGP), lambda j, tb: (0, 0)),
             pl.BlockSpec((cp, HIST_W), lambda j, tb: (0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((8, 128), jnp.int32),
+            pltpu.VMEM((8, CGP), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -292,7 +316,7 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
         out_shape=(
             # per-probe uniq color; -1 = valid non-unique, -2 = invalid
             jax.ShapeDtypeStruct((P,), jnp.int32),
-            jax.ShapeDtypeStruct((8, 128), jnp.int32),  # counts in row 0
+            jax.ShapeDtypeStruct((8, CGP), jnp.int32),  # counts in row 0
             jax.ShapeDtypeStruct((cp, HIST_W), jnp.int32),  # histogram
         ),
         interpret=_interpret(),
@@ -374,7 +398,9 @@ def _stream_core(
         )
     P = blk_s.shape[0]
     C = n_colors
-    cp = 32 if C < 32 else 128
+    # histogram rows: colors 0..C-1 + the not-counted marker column C,
+    # padded to a tile-friendly width
+    cp = 32 if C < 32 else ((C + 1 + 127) // 128) * 128
     n_tiles = blocks2.shape[0] // T
 
     n_chunks = P // PC

@@ -42,6 +42,7 @@ class ShardedQueryEngine:
             mesh = sharded.make_mesh(n_data, n // n_data, layout)
         self.mesh = mesh
         self.rpb = 0  # blocked single-fetch fast path (0 = generic gather)
+        self._planes = None  # row-sharded stream path byte planes
         if sharded_matrix is not None:
             # device-resident blocks from a row-sharded build
             # (ops/build_ops.py::build_matrix_rowshard + pack_blocks_rowshard):
@@ -62,12 +63,27 @@ class ShardedQueryEngine:
             if index.blocked and self.wpad <= 128:
                 self.rpb = 128 // self.wpad
         else:
-            mult = 128 if index.blocked else 1
+            wpad_g = row_wpad(matrix.shape[1])
+            stream_ok = (
+                index.blocked in (3, 4)  # value-addressed (monotone blocks)
+                and index.num_hash in (1, 2, 4)
+                and wpad_g <= 32
+            )
+            # the stream path tiles each shard's matrix in 128-block
+            # windows, so shard boundaries must fall on tile boundaries
+            mult = (
+                128 * (128 // wpad_g) if stream_ok
+                else (128 if index.blocked else 1)
+            )
             self.mat, self.wpad, self.Rl = sharded.device_put_rowshard(
                 matrix, mesh, row_multiple=mult
             )
             if index.blocked and self.wpad <= 128:
                 self.rpb = 128 // self.wpad  # Rl % rpb == 0 via row_multiple
+            if stream_ok:
+                # int8 byte-plane copy per shard (1x the matrix footprint,
+                # only when the sorted-stream path can use it)
+                self._planes = sharded.byte_planes_3d(self.mat)
 
     def _rows(self, keys: np.ndarray) -> np.ndarray:
         from .. import native
@@ -108,6 +124,9 @@ class ShardedQueryEngine:
             return SearchResult(counts, True, and_all, hist, none, none)
         if qcounts is None:
             qcounts = np.ones(n, dtype=np.int32)
+        res = self._try_stream_keys(keys, qcounts)
+        if res is not None:
+            return res
         rows_all = self._rows(keys)
         uniq_color = np.full(n, -1, dtype=np.int32)
         all_valid = True
@@ -147,6 +166,104 @@ class ShardedQueryEngine:
             all_valid = all_valid and bool(av)
         return self._finish(
             counts, all_valid, and_all, hist, uniq_color, qcounts
+        )
+
+    def _try_stream_keys(self, keys, qcounts) -> SearchResult | None:
+        """Row-sharded sorted-stream path (VERDICT r3 #7): one dispatch of
+        the single-device stream kernel per (data, row) device over
+        shard-partitioned sorted probe slices (sharded.py module note).
+        Returns None when ineligible or when a shard overflowed its
+        residual/overflow capacity (caller reruns the generic path)."""
+        import os
+
+        import jax.numpy as jnp
+
+        from ..ops.blocked import pack_keys_u64, v3_block_offsets
+        from ..ops.query import FREQ_CAP as _FC
+        from ..ops.stream_query import PC
+
+        index = self.index
+        if (
+            self._planes is None
+            or os.environ.get("COLORID_STREAM", "1") == "0"
+        ):
+            return None
+        key_len = index.m_size or index.k_size
+        if keys.shape[1] != key_len or not (4 <= key_len <= 32):
+            return None
+        C = index.n_colors
+        H = index.num_hash
+        rpb = self.rpb  # row layout: shard grouping == build placement
+        vals = pack_keys_u64(keys)
+        blk, offs = v3_block_offsets(
+            vals, key_len, H, index.bloom_size, rpb,
+            version=int(index.blocked),
+        )
+        offp = offs[:, 0].astype(np.uint32)
+        for h in range(1, H):
+            offp |= offs[:, h].astype(np.uint32) << np.uint32(8 * h)
+        qc = np.minimum(
+            np.maximum(np.asarray(qcounts), 1), 2**31 - 1
+        ).astype(np.int32)
+        order = np.argsort(blk, kind="stable")
+        blk_s = blk[order].astype(np.int32)
+        offp_s = offp[order]
+        qc_s = qc[order]
+        nd = self.mesh.shape["data"]
+        nr = self.mesh.shape["row"]
+        nbl = self.Rl // rpb  # blocks owned per row shard
+        bounds = np.searchsorted(
+            blk_s, np.arange(nr + 1, dtype=np.int64) * nbl
+        )
+        Pl_max = int((bounds[1:] - bounds[:-1]).max())
+        P2 = max(_round_up(-(-max(Pl_max, 1) // nd), PC), PC)
+        # padding probes carry the shard's base block (in-window) + qc == 0
+        b3 = np.broadcast_to(
+            (np.arange(nr, dtype=np.int32) * nbl)[None, :, None], (nd, nr, P2)
+        ).copy()
+        o3 = np.zeros((nd, nr, P2), dtype=np.uint32)
+        q3 = np.zeros((nd, nr, P2), dtype=np.int32)
+        for r in range(nr):
+            lo, hi = int(bounds[r]), int(bounds[r + 1])
+            per = -(-(hi - lo) // nd) if hi > lo else 0
+            for d in range(nd):
+                a = lo + d * per
+                b = min(lo + (d + 1) * per, hi)
+                if b <= a:
+                    continue
+                m = b - a
+                b3[d, r, :m] = blk_s[a:b]
+                o3[d, r, :m] = offp_s[a:b]
+                q3[d, r, :m] = qc_s[a:b]
+        counts, aw, ok, hist, ndrop, n_over, oc, of = (
+            sharded.stream_batch_rowshard(
+                self.mat, self._planes, jnp.asarray(b3), jnp.asarray(o3),
+                jnp.asarray(q3), mesh=self.mesh, wpad=self.wpad,
+                num_hash=H, rpb=rpb, n_colors=C, nbl=nbl,
+            )
+        )
+        if int(np.asarray(ndrop)) > 0:
+            return None
+        W = index.words_per_row
+        no = np.asarray(n_over)
+        ocn = np.asarray(oc)
+        ofn = np.asarray(of)
+        over_c: list[np.ndarray] = []
+        over_f: list[np.ndarray] = []
+        for d in range(nd):
+            for r in range(nr):
+                m = int(no[d, r])
+                if m:
+                    over_c.append(ocn[d, r, :m])
+                    over_f.append(ofn[d, r, :m])
+        none = np.zeros(0, dtype=np.int32)
+        return SearchResult(
+            np.asarray(counts)[:C].astype(np.int64),
+            bool(np.asarray(ok) > 0),
+            np.asarray(aw)[:W],
+            np.asarray(hist)[:, :_FC].astype(np.int64),
+            np.concatenate(over_c).astype(np.int32) if over_c else none,
+            np.concatenate(over_f).astype(np.int32) if over_f else none,
         )
 
     def _finish(self, counts, all_valid, and_all, hist, uniq_color, qcounts):

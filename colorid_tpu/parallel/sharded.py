@@ -218,6 +218,120 @@ def query_batch_rowshard(matrix, rows, mask, *, mesh, wpad, Rl, W, rpb=0):
 
 
 # ---------------------------------------------------------------------------
+# row-sharded sorted-stream query (value-addressed v3/v4 blocked layouts)
+# ---------------------------------------------------------------------------
+#
+# The single-device fast path (ops/stream_query.py) runs unchanged on a
+# ("data", "row") mesh because the blocked layout keeps ALL of a k-mer's
+# rows in one 512-byte block: each probe is owned by exactly ONE row shard,
+# so a sorted probe stream partitions into contiguous per-shard slices at
+# the shard block boundaries (the value-addressed placement is monotone)
+# and every per-probe statistic is computed entirely locally. Cross-device
+# traffic is only the final merge: psum of counts/histogram, AND-reduce of
+# the and-words, pmin of the all-valid flag — no per-probe collectives.
+
+
+def _stream_rowshard_body(
+    wpad, num_hash, rpb, n_colors, nbl, mat, planes, blk, offp, qc
+):
+    from ..ops.query import FREQ_CAP
+    from ..ops.stream_query import OVER_CAP, RES_CAP, _stream_core
+
+    C = n_colors
+    blk = blk[0, 0]  # [1, 1, Pl] per-device slices -> [Pl]
+    offp = offp[0, 0]
+    qc = qc[0, 0]
+    base = (jax.lax.axis_index("row") * np.int32(nbl)).astype(jnp.int32)
+    stats0 = jnp.concatenate(
+        [
+            jnp.zeros(C, dtype=jnp.int32),
+            jnp.full(wpad, -1, dtype=jnp.int32),
+            jnp.array([1, 0], dtype=jnp.int32),
+        ]
+    )
+    hist0 = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
+    capO = OVER_CAP + RES_CAP
+    oc0 = jnp.zeros(capO, dtype=jnp.int32)
+    of0 = jnp.zeros(capO, dtype=jnp.int32)
+    stats, hist, oc, of, ndrop = _stream_core(
+        stats0, hist0, oc0, of0, mat[0], planes[0],
+        blk - base, offp, qc, qc,  # exact mode: overflow payload = the freq
+        wpad=wpad, num_hash=num_hash, rpb=rpb, n_colors=C,
+    )
+    counts = jax.lax.psum(stats[:C], ("data", "row"))
+    hist_g = jax.lax.psum(hist, ("data", "row"))
+    ones = jnp.uint32(0xFFFFFFFF)
+    aw = stats[C : C + wpad].astype(jnp.uint32)
+    for ax in ("row", "data"):
+        ga = jax.lax.all_gather(aw, ax)
+        aw = jax.lax.reduce(ga, ones, jax.lax.bitwise_and, dimensions=(0,))
+    ok = jax.lax.pmin(stats[C + wpad], ("data", "row"))
+    ndrop_g = jax.lax.psum(ndrop, ("data", "row"))
+    n_over = stats[C + wpad + 1]
+    return (
+        counts,
+        aw,
+        ok,
+        hist_g,
+        ndrop_g,
+        n_over[None, None],
+        oc[None, None],
+        of[None, None],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "wpad", "num_hash", "rpb", "n_colors", "nbl"),
+)
+def stream_batch_rowshard(
+    mat, planes, blk, offp, qc, *, mesh, wpad, num_hash, rpb, n_colors, nbl
+):
+    """Sorted-stream query over a ("data", "row") mesh.
+
+    blk/offp/qc are [nd, nr, Pl] — probe slices pre-partitioned by shard
+    block ownership (blk sorted asc within each slice, GLOBAL block ids;
+    qc == 0 marks padding; Pl a multiple of the stream chunk). Returns
+    (counts [C] replicated, and-words [wpad] replicated, ok scalar,
+    hist [C, FREQ_CAP] replicated, n_dropped scalar, and the per-device
+    overflow lists n_over [nd, nr], oc/of [nd, nr, capO])."""
+    f = jax.shard_map(
+        partial(
+            _stream_rowshard_body, wpad, num_hash, rpb, n_colors, nbl
+        ),
+        mesh=mesh,
+        in_specs=(
+            P("row", None, None),
+            P("row", None, None),
+            P("data", "row", None),
+            P("data", "row", None),
+            P("data", "row", None),
+        ),
+        out_specs=(
+            P(), P(), P(), P(), P(),
+            P("data", "row"),
+            P("data", "row", None),
+            P("data", "row", None),
+        ),
+        check_vma=False,
+    )
+    return f(mat, planes, blk, offp, qc)
+
+
+@jax.jit
+def byte_planes_3d(mat: jnp.ndarray) -> jnp.ndarray:
+    """[S, Rb, 128] uint32 -> int8 [S, Rb, 512] offset byte planes (the
+    sharded twin of ops/stream_query.byte_plane_blocks; elementwise + concat
+    on an unsharded axis, so the input's row sharding carries over)."""
+    planes = [
+        (((mat >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(jnp.int32)
+         - 128).astype(jnp.int8)
+        for p in range(4)
+    ]
+    return jnp.concatenate(planes, axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # sharded device extraction (search_reads on a mesh)
 # ---------------------------------------------------------------------------
 

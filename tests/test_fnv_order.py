@@ -141,3 +141,56 @@ def test_fnv_map_order_usize_nontrivial():
     order = fnv_map_order_usize(keys)
     assert sorted(order) == keys
     assert order != keys  # hash order, not insertion order
+
+
+# -- second independently-written oracle (VERDICT r3 #8) ---------------------
+
+
+def test_swiss_oracle_matches_production_random():
+    """core/fnv.py (numpy ctrl array + mirrored tail) vs tests/swiss_oracle
+    (dict + mathematical phantom/mirror index rule): a transcription slip in
+    either formulation shows up as an order mismatch."""
+    from tests.swiss_oracle import swiss_iteration_order
+
+    rng = np.random.default_rng(11)
+    for n in [1, 2, 3, 4, 5, 6, 7, 8, 13, 14, 15, 27, 28, 29, 55, 56, 57,
+              111, 112, 113, 223, 224, 225, 448, 449, 1000]:
+        hashes = rng.integers(0, 2**63, n, dtype=np.int64).astype(np.uint64)
+        want = hashbrown_iteration_order(hashes).tolist()
+        got = swiss_iteration_order(hashes)
+        assert got == want, f"n={n}"
+
+
+def test_swiss_oracle_small_table_adversarial():
+    """All h1/h2 collision patterns on 4- and 8-bucket tables (the phantom
+    slot + wrapped-group fallback corner the round-2 advisor flagged)."""
+    from tests.swiss_oracle import swiss_iteration_order
+
+    rng = np.random.default_rng(13)
+    for _ in range(300):
+        n = int(rng.integers(1, 8))
+        # force h1 collisions: few distinct low bits, random h2 (top 7)
+        h1s = rng.integers(0, 4, n, dtype=np.uint64)
+        h2s = rng.integers(0, 128, n, dtype=np.uint64)
+        hashes = (h2s << np.uint64(57)) | h1s
+        hashes = np.unique(hashes)[
+            np.argsort(rng.random(np.unique(hashes).size))
+        ]
+        want = hashbrown_iteration_order(hashes).tolist()
+        got = swiss_iteration_order(hashes)
+        assert got == want
+
+
+def test_swiss_oracle_growth_boundaries():
+    """Exactly-at-resize sizes (capacity = 3, 7, then 7/8 fill points)."""
+    from tests.swiss_oracle import swiss_iteration_order
+
+    rng = np.random.default_rng(17)
+    for n in [3, 4, 7, 8, 14, 15, 28, 29, 56, 57, 112, 113, 224, 225]:
+        for trial in range(5):
+            hashes = rng.integers(
+                0, 2**63, n, dtype=np.int64
+            ).astype(np.uint64)
+            assert swiss_iteration_order(hashes) == (
+                hashbrown_iteration_order(hashes).tolist()
+            )
