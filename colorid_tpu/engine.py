@@ -318,8 +318,7 @@ class QueryEngine:
     def search_keys_dev(
         self,
         pk_dev,  # uint32 [P, 2] device-resident packed k-mers
-        qc_dev,  # uint16 [P] device-resident clipped frequencies (0 = pad)
-        qcounts_host: np.ndarray,  # int32 [P] host copy (overflow resolve)
+        qc_dev,  # int32 [P] device-resident full frequencies (0 = pad)
         k: int,
     ) -> SearchResult | None:
         """search_keys over a device-resident, pre-padded query batch.
@@ -327,13 +326,33 @@ class QueryEngine:
         The timed analogue of the reference's search span
         (batch_search_pe.rs:45-83): there the query k-mer count-map is
         already in host RAM when the span starts; here the packed k-mers
-        are already in HBM. One sorted-stream dispatch covers the whole
-        batch and everything but the (rare) overflow list is fetched in a
-        single D2H round trip. P must be a multiple of the stream chunk
-        (ops/stream_query.PC) and the index must be stream-eligible.
-        Returns None if the kernel's residual/overflow capacity was
-        exceeded (caller reruns via the generic host path)."""
-        from .ops.stream_query import PC, stream_accumulate_hash
+        are already in HBM. One exact-mode sorted-stream dispatch covers
+        the whole batch and everything but the (rare) overflow list is
+        fetched in a single D2H round trip. P must be a multiple of the
+        stream chunk (ops/stream_query.PC) and the index must be
+        stream-eligible. Returns None if the kernel's residual/overflow
+        capacity was exceeded (caller reruns via the generic host path)."""
+        vec, oc_buf, of_buf, capO = self.search_keys_dev_async(
+            pk_dev, qc_dev, k=k
+        )
+        # ONE D2H round trip for stats + drop guard + histogram (the tunnel
+        # RTT is 100-500ms; per-array fetches would dominate the span)
+        return self.search_keys_dev_finish(
+            np.asarray(vec), oc_buf, of_buf, capO
+        )
+
+    def search_keys_dev_async(self, pk_dev, qc_dev, k: int):
+        """Dispatch half of search_keys_dev: returns (vec, oc_buf, of_buf,
+        capO) with vec = concat([stats, n_drop, hist.ravel()]) still on
+        device, so callers can pipeline several dispatches and fetch them
+        in one stacked D2H (steady-state throughput measurement; a real
+        streaming pipeline overlaps fetches with the next batch)."""
+        from .ops.stream_query import (
+            OVER_CAP,
+            PC,
+            RES_CAP,
+            stream_accumulate_hash_exact,
+        )
 
         if not self._stream:
             raise ValueError("search_keys_dev requires a stream-eligible index")
@@ -341,7 +360,6 @@ class QueryEngine:
         if P % PC:
             raise ValueError(f"P must be a multiple of {PC}")
         C = self.index.n_colors
-        W = self.index.words_per_row
         stats = jnp.concatenate(
             [
                 jnp.zeros(C, dtype=jnp.int32),
@@ -350,22 +368,28 @@ class QueryEngine:
             ]
         )
         hist = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
-        capO = _round_up(P, 1024)
+        capO = OVER_CAP + RES_CAP  # both appenders are capped (stream_query)
         oc_buf = jnp.zeros(capO, dtype=jnp.int32)
         of_buf = jnp.zeros(capO, dtype=jnp.int32)
-        stats, hist, oc_buf, of_buf, nd = stream_accumulate_hash(
+        stats, hist, oc_buf, of_buf, nd = stream_accumulate_hash_exact(
             stats, hist, oc_buf, of_buf,
             self.blocks2, self._blocks_bp,
-            pk_dev, qc_dev, jnp.int32(0),
+            pk_dev, qc_dev,
             wpad=self.wpad, k=k, num_hash=self.index.num_hash,
             bloom_size=self.index.bloom_size, rpb=self.rpb,
             n_colors=C, bv=self.bv,
         )
-        # ONE D2H round trip for stats + drop guard + histogram (the tunnel
-        # RTT is 100-500ms; per-array fetches would dominate the span)
-        host = np.asarray(
-            jnp.concatenate([stats, nd[None], hist.reshape(-1)])
-        )
+        vec = jnp.concatenate([stats, nd[None], hist.reshape(-1)])
+        return vec, oc_buf, of_buf, capO
+
+    def search_keys_dev_finish(
+        self, host, oc_buf, of_buf, capO
+    ) -> SearchResult | None:
+        """Decode a fetched search_keys_dev_async vector (numpy) into a
+        SearchResult; None when the drop guard tripped. Exact mode: the
+        overflow list carries frequencies directly."""
+        C = self.index.n_colors
+        W = self.index.words_per_row
         sl = C + self.wpad + 2
         if int(host[sl]) > 0:  # capacity exceeded: generic path rerun
             return None
@@ -378,8 +402,7 @@ class QueryEngine:
         if n_over:
             kp = min(_round_up(n_over, 1024), capO)
             over_c = np.asarray(oc_buf[:kp])[:n_over]
-            over_v = np.asarray(of_buf[:kp])[:n_over]
-            over_f = qcounts_host[over_v].astype(np.int32)
+            over_f = np.asarray(of_buf[:kp])[:n_over].astype(np.int32)
         else:
             over_c = over_f = none
         return SearchResult(

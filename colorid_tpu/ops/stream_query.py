@@ -370,6 +370,45 @@ def stream_accumulate_hash(
     )
 
 
+@partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2, 3),
+    static_argnames=("wpad", "k", "num_hash", "bloom_size", "rpb",
+                     "n_colors", "bv"),
+)
+def stream_accumulate_hash_exact(
+    stats: jnp.ndarray,
+    hist: jnp.ndarray,
+    over_col: jnp.ndarray,
+    over_freq: jnp.ndarray,
+    blocks2: jnp.ndarray,
+    blocks_bp: jnp.ndarray,
+    packed: jnp.ndarray,  # uint32 [P, 2]; P % PC == 0
+    qcounts: jnp.ndarray,  # int32 [P] FULL frequencies; 0 marks padding
+    *,
+    wpad: int,
+    k: int,
+    num_hash: int,
+    bloom_size: int,
+    rpb: int,
+    n_colors: int,
+    bv: int = 2,
+):
+    """stream_accumulate_hash in exact mode: the overflow payload is the
+    frequency itself, so the sort carries 3 arrays instead of 4 (no global
+    k-mer index) and the caller needs no host-side frequency resolution.
+    Frequencies must be the real int32 counts (not clipped)."""
+    blk, offs = _device_blkoff(packed[:, 0], packed[:, 1], k, num_hash,
+                               bloom_size, rpb, bv)
+    offp = pack_offsets(offs)
+    blk_s, off_s, qc_s = jax.lax.sort((blk, offp, qcounts), num_keys=1)
+    return _stream_core(
+        stats, hist, over_col, over_freq, blocks2, blocks_bp,
+        blk_s, off_s, qc_s, qc_s,
+        wpad=wpad, num_hash=num_hash, rpb=rpb, n_colors=n_colors,
+    )
+
+
 def pack_offsets(offs: list) -> jnp.ndarray:
     """Per-hash in-block offsets -> one uint32 with 8 bits per hash (the
     stream kernel's off_ref encoding; rpb <= 128 so offsets fit 7 bits)."""
