@@ -6,9 +6,9 @@ prints as "Search: {} sec", which starts with the query k-mer count-map
 already resident in host RAM). Two measured paths, best wins:
 
 - PRIMARY A (stream): packed query k-mers resident in HBM (the TPU-native
-  analogue of "count-map in RAM"); one sorted-stream dispatch
-  (hash/sort/gather/AND/count, ops/stream_query.py) + a single small D2H
-  fetch of the accumulators.
+  analogue of "count-map in RAM"); steady-state over several exact-mode
+  sorted-stream dispatches (hash/sort/gather/AND/count,
+  ops/stream_query.py) with ONE stacked D2H fetch of all accumulators.
 - PRIMARY B (fused reads): strictly MORE work than the reference span —
   2-bit packed reads in HBM, device extracts + counts + filters k-mers and
   queries, all in one dispatch (ops/fused_reads.py).
@@ -28,7 +28,7 @@ Setup (deterministic, cached under .bench_cache/):
 - index: every reference genome bundled with the repo (21 fastas: 4
   Listeria phages + 17 of the 65-genome panel) at the reference's
   isolate-ID defaults k=31, bloom=50M, hashes=4 (README.md:59,
-  main.rs:475-477), blocked-v3 layout.
+  main.rs:475-477), blocked-v4 layout.
 - query: 400k reads of 150bp sampled from the genomes => ~10M distinct
   filtered k-mers with realistic hit/uniq structure.
 

@@ -761,7 +761,8 @@ class QueryEngine:
         sg[:M] = np.asarray(mate_seg, dtype=np.int16)
         ln = np.zeros(size, dtype=np.int32)
         ln[:M] = lens
-        rk = np.full((size, ranks.shape[1]), -1, dtype=np.int16)
+        none = 255 if ranks.dtype == np.uint8 else -1  # ops/query decode
+        rk = np.full((size, ranks.shape[1]), none, dtype=ranks.dtype)
         rk[:M] = ranks
         n_pad = max(1 << (n_reads - 1).bit_length(), 16)
         rep = query_readid_firsthit_reads(
@@ -871,7 +872,8 @@ class QueryEngine:
             sg[:m] = (mate_seg[lo:hi] - r0).astype(np.int16)
             ln = np.zeros(size, dtype=np.int32)
             ln[:m] = lens[lo:hi]
-            rk = np.full((size, NW), -1, dtype=np.int16)
+            none = 255 if ranks.dtype == np.uint8 else -1  # ops/query decode
+            rk = np.full((size, NW), none, dtype=ranks.dtype)
             rk[:m] = ranks[lo:hi]
             report = query_readid_reads_batch(
                 self.blocks2,

@@ -486,6 +486,16 @@ def query_accumulate_hash_scan_exact(
 PAD_POS = np.int32(2**30)  # kmer_pos for padding slots: never counted
 
 
+def _decode_ranks(ranks):
+    """Rank-plane decode for the reads-path kernels: int16 uses -1 as the
+    no-rank marker; uint8 (the halved-H2D encoding, read_id.py) uses 255.
+    Returns (rank int32, live bool)."""
+    rk = ranks.astype(jnp.int32)
+    if ranks.dtype == jnp.uint8:
+        return rk, rk != 255
+    return rk, rk >= 0
+
+
 @partial(jax.jit, static_argnames=("num_reads", "start_sample", "num_colors", "wpad", "rpb"))
 def query_readid_batch(
     blocks2: jnp.ndarray,
@@ -692,7 +702,8 @@ def query_readid_reads_batch(
     mates_packed: jnp.ndarray,  # uint32 [M, ceil(L/16)] 2-bit mate words
     mate_seg16: jnp.ndarray,  # int16 [M] read id per mate (-1 = padding)
     lens: jnp.ndarray,  # int32 [M] true mate lengths
-    ranks16: jnp.ndarray,  # int16 [M, L-k+1] per-window set rank / -1
+    ranks16: jnp.ndarray,  # int16 (-1 = none) or uint8 (255 = none)
+    #                        [M, L-k+1] per-window set rank plane
     *,
     num_reads: int,
     start_sample: int,
@@ -719,8 +730,8 @@ def query_readid_reads_batch(
     lo, hi = _window_limbs(codes, k, NW)  # [M, NW]
     w_idx = jnp.arange(NW, dtype=jnp.int32)[None, :]
     in_len = w_idx + k <= lens[:, None]
-    rk = ranks16.astype(jnp.int32)
-    live = in_len & (rk >= 0) & (mate_seg16 >= 0)[:, None]
+    rk, rk_live = _decode_ranks(ranks16)
+    live = in_len & rk_live & (mate_seg16 >= 0)[:, None]
     pos = jnp.where(live, rk, jnp.int32(PAD_POS)).reshape(-1)
     seg = jnp.maximum(mate_seg16.astype(jnp.int32), 0)
     seg = jnp.broadcast_to(seg[:, None], (M, NW)).reshape(-1)
@@ -770,8 +781,8 @@ def query_readid_firsthit_reads(
     lo, hi = _window_limbs(codes, k, NW)
     w_idx = jnp.arange(NW, dtype=jnp.int32)[None, :]
     in_len = w_idx + k <= lens[:, None]
-    rk = ranks16.astype(jnp.int32)
-    live = in_len & (rk >= 0) & (mate_seg16 >= 0)[:, None]
+    rk, rk_live = _decode_ranks(ranks16)
+    live = in_len & rk_live & (mate_seg16 >= 0)[:, None]
     pos = jnp.where(live, rk, jnp.int32(PAD_POS)).reshape(-1)
     seg = jnp.maximum(mate_seg16.astype(jnp.int32), 0)
     seg = jnp.broadcast_to(seg[:, None], (M, NW)).reshape(-1)

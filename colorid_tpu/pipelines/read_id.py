@@ -172,6 +172,10 @@ def _prepare_reads(batch, todo_idx, k, d, fnv):
     if got is None:
         return None
     ranks, maplen, packed = got
+    if maplen.size == 0 or int(maplen.max()) < 255:
+        # uint8 rank plane (255 = none) halves the dominant H2D of the
+        # reads path; per-read set sizes < 255 cover all short-read inputs
+        ranks = np.where(ranks < 0, 255, ranks).astype(np.uint8)
     seg = np.repeat(
         np.arange(len(todo_idx), dtype=np.int16), nseqs
     )
