@@ -1,4 +1,4 @@
-"""Fused reads→results search for value-addressed (v3) blocked indexes.
+"""Fused reads→results search for value-addressed (v3/v4) blocked indexes.
 
 One jitted device call covers the whole query pipeline the reference runs
 host-side plus its search loop (batch_search_pe.rs:28-93): 2-bit packed
