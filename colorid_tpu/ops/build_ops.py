@@ -106,7 +106,8 @@ def pack_blocks_rowshard(mat, *, mesh, Rl, W):
     from .query import row_wpad
 
     wpad = row_wpad(W)
-    nb = max((-(-(Rl * wpad) // (128 * 128))) * 128, 256)
+    # min 512 matches pack_matrix_blocks (NT_WIN stream window tiles)
+    nb = max((-(-(Rl * wpad) // (128 * 128))) * 128, 512)
     cap = -(-(nb * 128) // wpad)
 
     def body(m):  # [Rl, W] local shard

@@ -46,18 +46,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .query import FREQ_CAP, _accumulate_one, _device_blkoff
 
-T = 128  # matrix tile rows (512-byte blocks) per window half
+T = 128  # matrix tile rows (512-byte blocks)
+NT_WIN = 4  # tiles per chunk window (512 blocks; sized so genome value
+#             coldspots leave only a handful of residual chunks — measured
+#             2026-08-21 at bench density: 253k residual probes in 426
+#             chunks with a 2-tile window vs 27k in 26 chunks with 4)
 PC = 2048  # probes per grid step (v5e sweep: 2048 ~6% over 1024, 4096 flat)
-HIST_W = 256  # in-kernel uniq-hit frequency histogram width (<= FREQ_CAP)
-# Out-of-window probes re-run via the generic gather. Real genome k-mer
-# values are non-uniform at coarse scales (GC/content bias), so value-
-# addressed probe streams have coldspots where a PC-probe chunk spans far
-# more than the 2-tile window; at bench density (~25 distinct probes per
-# block) that is ~2.5-3.5% of a 10M-probe batch (measured 2026-08-20:
-# 250-350k of 10M). The residual gather costs ~30ms per 2^19 probes —
-# cheap insurance against a None fallback that would rerun everything.
-RES_CAP = 1 << 19
+HIST_W = 256  # in-kernel uniq-hit histogram width for WIDE color counts
+NCH = 128  # residual chunk capacity (out-of-window probes re-run through
+#            the generic gather at CHUNK granularity: jnp.nonzero over the
+#            [n_chunks] has-residual flags costs microseconds, where a
+#            probe-granular nonzero over 10M probes hid a ~50ms sort)
+RES_CAP = NCH * PC  # residual probe slots (overflow-append bound)
 OVER_CAP = 1 << 18  # uniq-hit frequency-overflow entries per segment
+
+
+def _hist_w(n_colors: int) -> int:
+    """In-kernel uniq-hit frequency histogram width. For narrow color
+    counts the [cp, hw] VMEM block is cheap, so the kernel histogram
+    covers the engine's full FREQ_CAP range and the frequency-overflow
+    path (a ~50ms probe-granular compaction) never fires for frequencies
+    < 1024; wide color counts keep the narrower block."""
+    return 1024 if n_colors < 128 else HIST_W
 
 # sum over byte planes of the +128 de-offset corrections: 128 * (1 + 256 +
 # 65536 + 16777216) = 0x80808080, as an int32 bit pattern
@@ -110,10 +120,11 @@ def _n_color_groups(wpad: int) -> int:
 
 
 def _stream_kernel(
-    tb_ref, blk_ref, off_ref, qc_ref, tileA_ref, tileB_ref,
+    tb_ref, blk_ref, off_ref, qc_ref, tileA_ref, tileB_ref, tileC_ref,
+    tileD_ref,
     uniq_ref, counts_ref, hist_ref,
     counts_scratch,
-    *, num_hash, wpad, n_colors, cp, planes, n_chunks,
+    *, num_hash, wpad, n_colors, cp, hw, planes, n_chunks,
 ):
     H, W = num_hash, wpad
     HW = H * W
@@ -125,21 +136,20 @@ def _stream_kernel(
         counts_scratch[:] = jnp.zeros_like(counts_scratch)
         hist_ref[:] = jnp.zeros_like(hist_ref)
 
-    # --- block gather: int8 one-hot row-select over 2 byte-plane tiles ----
-    # only the live byte planes participate (index bits >= n_colors are
+    # --- block gather: int8 one-hot row-select over NT_WIN byte-plane tiles
+    # (only the live byte planes participate: index bits >= n_colors are
     # never set, so single-word rows need just ceil(C/8) planes)
     PLW = 128 * planes
     base = tb_ref[j] * T
     l2 = (blk_ref[:] - base)[:, None]  # i32 [PC, 1]
     iota_T = jax.lax.broadcasted_iota(jnp.int32, (PC, T), 1)
-    ohA = (l2 == iota_T).astype(jnp.int8)
-    ohB = ((l2 - T) == iota_T).astype(jnp.int8)
     g = jax.lax.dot_general(
-        ohA, tileA_ref[:, :PLW], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    g = g + jax.lax.dot_general(
-        ohB, tileB_ref[:, :PLW], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        (l2 == iota_T).astype(jnp.int8), tileA_ref[:, :PLW],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    for t, tile in enumerate((tileB_ref, tileC_ref, tileD_ref), start=1):
+        g = g + jax.lax.dot_general(
+            ((l2 - t * T) == iota_T).astype(jnp.int8), tile[:, :PLW],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
     # g[p, 128*plane + lane] = byte(plane) of the probe's block word at
     # lane, minus 128 (all-zero for out-of-window probes, masked via qc==0)
 
@@ -256,16 +266,16 @@ def _stream_kernel(
     uniq_ref[:] = jnp.where(uniq, colorsum, jnp.where(vrow == 1, -1, -2))
 
     # --- uniq-hit frequency histogram: int8 one-hot MXU contraction -------
-    qclip = jnp.clip(qc, 0, HIST_W - 1)
-    small = uniq & (qc < HIST_W)
+    qclip = jnp.clip(qc, 0, hw - 1)
+    small = uniq & (qc < hw)
     hist_col = jnp.where(small, colorsum, n_colors)[:, None]
     oc = (hist_col == jax.lax.broadcasted_iota(jnp.int32, (PC, cp), 1)
           ).astype(jnp.int8)
     ov = (qclip[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (PC, HIST_W), 1)).astype(jnp.int8)
+        jnp.int32, (PC, hw), 1)).astype(jnp.int8)
     delta = jax.lax.dot_general(
         oc, ov, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )  # [cp, HIST_W]
+    )  # [cp, hw]
     hist_ref[:] = hist_ref[:] + delta
 
     @pl.when(j == n_chunks - 1)
@@ -283,6 +293,8 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
     P = blk_s.shape[0]
     n_chunks = P // PC
     CGP = 128 * _n_color_groups(wpad)  # color-bit capacity, 128-padded
+    hw = _hist_w(n_colors)
+    tile_spec = lambda t: pl.BlockSpec((T, 512), lambda j, tb, t=t: (tb[j] + t, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
@@ -290,13 +302,11 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
-            pl.BlockSpec((T, 512), lambda j, tb: (tb[j], 0)),
-            pl.BlockSpec((T, 512), lambda j, tb: (tb[j] + 1, 0)),
-        ],
+        ] + [tile_spec(t) for t in range(NT_WIN)],
         out_specs=(
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
             pl.BlockSpec((8, CGP), lambda j, tb: (0, 0)),
-            pl.BlockSpec((cp, HIST_W), lambda j, tb: (0, 0)),
+            pl.BlockSpec((cp, hw), lambda j, tb: (0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((8, CGP), jnp.int32),
@@ -309,6 +319,7 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             wpad=wpad,
             n_colors=n_colors,
             cp=cp,
+            hw=hw,
             planes=_n_planes(wpad, n_colors),
             n_chunks=n_chunks,
         ),
@@ -317,10 +328,10 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             # per-probe uniq color; -1 = valid non-unique, -2 = invalid
             jax.ShapeDtypeStruct((P,), jnp.int32),
             jax.ShapeDtypeStruct((8, CGP), jnp.int32),  # counts in row 0
-            jax.ShapeDtypeStruct((cp, HIST_W), jnp.int32),  # histogram
+            jax.ShapeDtypeStruct((cp, hw), jnp.int32),  # histogram
         ),
         interpret=_interpret(),
-    )(tb, blk_s, off_s, qc_s, blocks_bp, blocks_bp)
+    )(tb, blk_s, off_s, qc_s, *([blocks_bp] * NT_WIN))
 
 
 @partial(
@@ -440,16 +451,15 @@ def _stream_core(
     # histogram rows: colors 0..C-1 + the not-counted marker column C,
     # padded to a tile-friendly width
     cp = 32 if C < 32 else ((C + 1 + 127) // 128) * 128
+    hw = _hist_w(C)
     n_tiles = blocks2.shape[0] // T
 
     n_chunks = P // PC
     firsts = blk_s.reshape(n_chunks, PC)[:, 0]
-    tb = jnp.clip(firsts // T, 0, n_tiles - 2).astype(jnp.int32)
-    inwin = (
-        blk_s.reshape(n_chunks, PC) - tb[:, None] * T < 2 * T
-    ).reshape(-1)
+    tb = jnp.clip(firsts // T, 0, n_tiles - NT_WIN).astype(jnp.int32)
+    inwin2d = blk_s.reshape(n_chunks, PC) - tb[:, None] * T < NT_WIN * T
 
-    qcw = jnp.where(inwin, qc_s, 0)
+    qcw = jnp.where(inwin2d.reshape(-1), qc_s, 0)
     uniq, counts_out, hist_out = _stream_call(
         blocks_bp, blk_s, off_s, qcw,
         tb, num_hash=num_hash, wpad=wpad, n_colors=C, cp=cp,
@@ -467,19 +477,18 @@ def _stream_core(
     pow2 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
     and_b = jnp.sum(eq.reshape(wpad, 32) * pow2, axis=1, dtype=jnp.uint32)
     ok_b = (n_valid == n_real).astype(jnp.int32)
-    hist = hist.at[:, :HIST_W].add(hist_out[:C])
+    hist = hist.at[:, :hw].add(hist_out[:C])
 
-    # uniq-hit frequency overflow entries (freq >= HIST_W): compacted and
-    # appended at the running n_over offset; the host resolves exact
-    # frequencies from the recorded global k-mer index.
+    # uniq-hit frequency overflow entries (freq >= hw): compacted and
+    # appended at the running n_over offset. The probe-granular nonzero
+    # hides a ~50ms sort over P, but the cond skips it whenever every
+    # uniq-hit frequency fit the kernel histogram (always, for narrow
+    # color counts, until frequencies reach FREQ_CAP).
     n_over_before = stats[C + wpad + 1]
-    big = (uniq >= 0) & (qc_s >= HIST_W)
+    big = (uniq >= 0) & (qc_s >= hw)
     n_big = jnp.sum(big.astype(jnp.int32))
     capO = over_col.shape[0]
 
-    # both fixups (overflow compaction, out-of-window residual) cost a
-    # cumsum/scatter over all P probes; lax.cond skips them at runtime in
-    # the common case where nothing overflows / everything is in-window
     def _route_over(bufs):
         oc_b, of_b = bufs
         bidx = jnp.nonzero(big, size=OVER_CAP, fill_value=P)[0]
@@ -497,10 +506,19 @@ def _stream_core(
     )
     n_drop_over = jnp.maximum(n_big - OVER_CAP, 0)
 
-    # residual pass: probes outside their chunk's 2-tile window (possible
-    # only at low probe density) re-run through the generic gather
-    res = (~inwin) & (qc_s > 0)
-    n_res = jnp.sum(res.astype(jnp.int32))
+    # residual pass, CHUNK-granular: probes outside their chunk's window
+    # live in a handful of value-coldspot chunks (module note), so the
+    # compaction selects whole chunks — a nonzero over [n_chunks] flags
+    # (microseconds) + contiguous row gathers — instead of a probe-level
+    # nonzero whose hidden sort over P cost ~50ms per dispatch.
+    res2d = (~inwin2d) & (qc_s.reshape(n_chunks, PC) > 0)
+    chunk_res = res2d.sum(axis=1, dtype=jnp.int32)  # [n_chunks]
+    n_res = chunk_res.sum()
+    has_res = chunk_res > 0
+    # residuals beyond the first NCH residual chunks are dropped (caller
+    # reruns generically); count them without compaction
+    covered = has_res & (jnp.cumsum(has_res.astype(jnp.int32)) <= NCH)
+    n_proc = jnp.sum(chunk_res * covered.astype(jnp.int32))
     stats_mid = jnp.concatenate(
         [
             counts_new,
@@ -512,11 +530,14 @@ def _stream_core(
 
     def _residual(args):
         stats_m, hist_m, oc_b, of_b = args
-        ridx = jnp.nonzero(res, size=RES_CAP, fill_value=P)[0]
-        rvalid = ridx < P
-        rsafe = jnp.minimum(ridx, P - 1)
-        rblk = blk_s[rsafe]
-        roff = off_s[rsafe]
+        cidx = jnp.nonzero(has_res, size=NCH, fill_value=n_chunks)[0]
+        cvalid = cidx < n_chunks
+        csafe = jnp.minimum(cidx, n_chunks - 1)
+        rblk = blk_s.reshape(n_chunks, PC)[csafe].reshape(-1)
+        roff = off_s.reshape(n_chunks, PC)[csafe].reshape(-1)
+        rqc = qc_s.reshape(n_chunks, PC)[csafe].reshape(-1)
+        rgid = gidx_s.reshape(n_chunks, PC)[csafe].reshape(-1)
+        rvalid = (res2d[csafe] & cvalid[:, None]).reshape(-1)
         rows_res = jnp.stack(
             [
                 rblk * np.int32(rpb)
@@ -529,8 +550,8 @@ def _stream_core(
         )
         return _accumulate_one(
             stats_m, hist_m, oc_b, of_b, blocks2, rows_res, rvalid,
-            qc_s[rsafe] * rvalid, wpad, jnp.int32(0), rpb,
-            gidx=gidx_s[rsafe],
+            rqc * rvalid, wpad, jnp.int32(0), rpb,
+            gidx=rgid,
         )
 
     stats_f, hist_f, over_col, over_freq = jax.lax.cond(
@@ -539,5 +560,5 @@ def _stream_core(
         lambda args: args,
         (stats_mid, hist, over_col, over_freq),
     )
-    n_drop_res = jnp.maximum(n_res - RES_CAP, 0)
+    n_drop_res = n_res - n_proc
     return stats_f, hist_f, over_col, over_freq, n_drop_over + n_drop_res
