@@ -616,7 +616,10 @@ def main():
 
     # -- setup (host-side, stall-safe) --------------------------------------
     try:
-        with step("device link warm", 90):
+        # 60s cap: a healthy link answers in 0.3-46s (worst observed); a
+        # wedged one never answers, and cheap attempts mean more fresh
+        # connections per window (the tunnel wedges per-connection)
+        with step("device link warm", 60):
             # first H2D+D2H on the axon tunnel is pathological; also proves
             # this process's connection is alive before committing to it
             np.asarray(jax.device_put(np.ones(8, np.int32)))

@@ -56,7 +56,7 @@ def pack_matrix_blocks(matrix: np.ndarray) -> tuple[np.ndarray, int]:
     R, W = matrix.shape
     wpad = row_wpad(W)
     # rows padded to a multiple of 128 (min 512) so the sorted-stream kernel
-    # (ops/stream_query.py) can tile the matrix in NT_WIN (128, 128) windows
+    # (ops/stream_query.py) can tile the matrix in up-to-4-tile windows
     n_rows = max(((R * wpad + 128 * 128 - 1) // (128 * 128)) * 128, 512)
     flat = np.zeros(n_rows * 128, dtype=np.uint32)
     if wpad == W:

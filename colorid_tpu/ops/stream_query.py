@@ -47,18 +47,30 @@ from jax.experimental.pallas import tpu as pltpu
 from .query import FREQ_CAP, _accumulate_one, _device_blkoff
 
 T = 128  # matrix tile rows (512-byte blocks)
-NT_WIN = 4  # tiles per chunk window (512 blocks; sized so genome value
-#             coldspots leave only a handful of residual chunks — measured
-#             2026-08-21 at bench density: 253k residual probes in 426
-#             chunks with a 2-tile window vs 27k in 26 chunks with 4)
 PC = 2048  # probes per grid step (v5e sweep: 2048 ~6% over 1024, 4096 flat)
 HIST_W = 256  # in-kernel uniq-hit histogram width for WIDE color counts
-NCH = 128  # residual chunk capacity (out-of-window probes re-run through
-#            the generic gather at CHUNK granularity: jnp.nonzero over the
-#            [n_chunks] has-residual flags costs microseconds, where a
-#            probe-granular nonzero over 10M probes hid a ~50ms sort)
-RES_CAP = NCH * PC  # residual probe slots (overflow-append bound)
+RES_CAP = 256 * PC  # residual probe slots (overflow-append bound)
 OVER_CAP = 1 << 18  # uniq-hit frequency-overflow entries per segment
+
+
+def _nt_win(wpad: int) -> int:
+    """Tiles per chunk window. Narrow-color kernels widen to 4 tiles (512
+    blocks) so genome value coldspots leave only a handful of residual
+    chunks (measured 2026-08-21 at bench density: 253k residual probes in
+    426 chunks with 2 tiles vs 27k in 26 with 4). Wide-color kernels are
+    epilogue/VMEM-bound and regress with the extra per-chunk tile copies
+    (512-color steady-state 13.4 -> 9.0 M k-mers/s measured), so they
+    keep 2 tiles and lean on the larger residual chunk budget."""
+    return 4 if wpad <= 4 else 2
+
+
+def _nch(wpad: int) -> int:
+    """Residual chunk capacity (out-of-window probes re-run through the
+    generic gather at CHUNK granularity: jnp.nonzero over the [n_chunks]
+    has-residual flags costs microseconds, where a probe-granular nonzero
+    over 10M probes hid a ~50ms sort). Narrower windows leave more
+    residual chunks, so the wide-color budget doubles."""
+    return 128 if wpad <= 4 else 256
 
 
 def _hist_w(n_colors: int) -> int:
@@ -120,12 +132,11 @@ def _n_color_groups(wpad: int) -> int:
 
 
 def _stream_kernel(
-    tb_ref, blk_ref, off_ref, qc_ref, tileA_ref, tileB_ref, tileC_ref,
-    tileD_ref,
-    uniq_ref, counts_ref, hist_ref,
-    counts_scratch,
-    *, num_hash, wpad, n_colors, cp, hw, planes, n_chunks,
+    tb_ref, blk_ref, off_ref, qc_ref, *refs,
+    num_hash, wpad, n_colors, cp, hw, planes, n_chunks, nt,
 ):
+    tiles = refs[:nt]
+    uniq_ref, counts_ref, hist_ref, counts_scratch = refs[nt:]
     H, W = num_hash, wpad
     HW = H * W
     CW = 32 * W
@@ -136,7 +147,7 @@ def _stream_kernel(
         counts_scratch[:] = jnp.zeros_like(counts_scratch)
         hist_ref[:] = jnp.zeros_like(hist_ref)
 
-    # --- block gather: int8 one-hot row-select over NT_WIN byte-plane tiles
+    # --- block gather: int8 one-hot row-select over nt byte-plane tiles
     # (only the live byte planes participate: index bits >= n_colors are
     # never set, so single-word rows need just ceil(C/8) planes)
     PLW = 128 * planes
@@ -144,11 +155,11 @@ def _stream_kernel(
     l2 = (blk_ref[:] - base)[:, None]  # i32 [PC, 1]
     iota_T = jax.lax.broadcasted_iota(jnp.int32, (PC, T), 1)
     g = jax.lax.dot_general(
-        (l2 == iota_T).astype(jnp.int8), tileA_ref[:, :PLW],
+        (l2 == iota_T).astype(jnp.int8), tiles[0][:, :PLW],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-    for t, tile in enumerate((tileB_ref, tileC_ref, tileD_ref), start=1):
+    for t in range(1, nt):
         g = g + jax.lax.dot_general(
-            ((l2 - t * T) == iota_T).astype(jnp.int8), tile[:, :PLW],
+            ((l2 - t * T) == iota_T).astype(jnp.int8), tiles[t][:, :PLW],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
     # g[p, 128*plane + lane] = byte(plane) of the probe's block word at
     # lane, minus 128 (all-zero for out-of-window probes, masked via qc==0)
@@ -294,6 +305,7 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
     n_chunks = P // PC
     CGP = 128 * _n_color_groups(wpad)  # color-bit capacity, 128-padded
     hw = _hist_w(n_colors)
+    nt = _nt_win(wpad)
     tile_spec = lambda t: pl.BlockSpec((T, 512), lambda j, tb, t=t: (tb[j] + t, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -302,7 +314,7 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
-        ] + [tile_spec(t) for t in range(NT_WIN)],
+        ] + [tile_spec(t) for t in range(nt)],
         out_specs=(
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
             pl.BlockSpec((8, CGP), lambda j, tb: (0, 0)),
@@ -322,6 +334,7 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             hw=hw,
             planes=_n_planes(wpad, n_colors),
             n_chunks=n_chunks,
+            nt=nt,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -331,7 +344,7 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             jax.ShapeDtypeStruct((cp, hw), jnp.int32),  # histogram
         ),
         interpret=_interpret(),
-    )(tb, blk_s, off_s, qc_s, *([blocks_bp] * NT_WIN))
+    )(tb, blk_s, off_s, qc_s, *([blocks_bp] * nt))
 
 
 @partial(
@@ -452,12 +465,14 @@ def _stream_core(
     # padded to a tile-friendly width
     cp = 32 if C < 32 else ((C + 1 + 127) // 128) * 128
     hw = _hist_w(C)
+    nt = _nt_win(wpad)
+    nch = _nch(wpad)
     n_tiles = blocks2.shape[0] // T
 
     n_chunks = P // PC
     firsts = blk_s.reshape(n_chunks, PC)[:, 0]
-    tb = jnp.clip(firsts // T, 0, n_tiles - NT_WIN).astype(jnp.int32)
-    inwin2d = blk_s.reshape(n_chunks, PC) - tb[:, None] * T < NT_WIN * T
+    tb = jnp.clip(firsts // T, 0, n_tiles - nt).astype(jnp.int32)
+    inwin2d = blk_s.reshape(n_chunks, PC) - tb[:, None] * T < nt * T
 
     qcw = jnp.where(inwin2d.reshape(-1), qc_s, 0)
     uniq, counts_out, hist_out = _stream_call(
@@ -515,9 +530,9 @@ def _stream_core(
     chunk_res = res2d.sum(axis=1, dtype=jnp.int32)  # [n_chunks]
     n_res = chunk_res.sum()
     has_res = chunk_res > 0
-    # residuals beyond the first NCH residual chunks are dropped (caller
+    # residuals beyond the first nch residual chunks are dropped (caller
     # reruns generically); count them without compaction
-    covered = has_res & (jnp.cumsum(has_res.astype(jnp.int32)) <= NCH)
+    covered = has_res & (jnp.cumsum(has_res.astype(jnp.int32)) <= nch)
     n_proc = jnp.sum(chunk_res * covered.astype(jnp.int32))
     stats_mid = jnp.concatenate(
         [
@@ -530,7 +545,7 @@ def _stream_core(
 
     def _residual(args):
         stats_m, hist_m, oc_b, of_b = args
-        cidx = jnp.nonzero(has_res, size=NCH, fill_value=n_chunks)[0]
+        cidx = jnp.nonzero(has_res, size=nch, fill_value=n_chunks)[0]
         cvalid = cidx < n_chunks
         csafe = jnp.minimum(cidx, n_chunks - 1)
         rblk = blk_s.reshape(n_chunks, PC)[csafe].reshape(-1)
