@@ -133,7 +133,9 @@ def emit_json():
     global _EMITTED
     if _EMITTED:
         return
-    cands = {k: STATE.get(k) for k in ("stream", "fused", "classic")}
+    cands = {
+        k: STATE.get(k) for k in ("stream", "fused", "classic", "generic")
+    }
     best = max((v for v in cands.values() if v), default=0.0)
     if not best:
         return  # nothing measured; caller decides the exit path
@@ -149,6 +151,8 @@ def emit_json():
             rec[f"{k}_kmers_per_s"] = round(v)
     if STATE.get("read_id"):
         rec["read_id_pairs_per_s"] = round(STATE["read_id"])
+    if STATE.get("parity"):
+        rec["parity"] = STATE["parity"]
     print(json.dumps(rec), flush=True)
 
 
@@ -471,7 +475,7 @@ def phase_generic(engine, keys, qcounts, packed):
         engine._stream = stream_state
     value = keys.shape[0] / best
     log(f"generic: {value / 1e6:.2f} M kmers/s")
-    record("classic", value)
+    record("generic", value)
 
 
 # Fused-phase read cap: dispatches spanning ~48M k-mer windows (400k
@@ -481,10 +485,10 @@ def phase_generic(engine, keys, qcounts, packed):
 FUSED_READS = int(os.environ.get("BENCH_FUSED_READS", 200_000))
 
 
-def _expected_unique(reads_packed) -> int:
-    """Host-side independent count of the distinct filtered k-mers in the
-    read subset (NativeCounter over the unpacked bases) — the parity
-    reference for the fused phase's device counting."""
+def _prefix_kmers(reads_packed):
+    """Host-side independent k-merization of the read subset (NativeCounter
+    over the unpacked bases) — the parity reference for the fused phase's
+    device counting AND the query batch for the prefix cross-check."""
     from colorid_tpu import native
 
     R, Lw = reads_packed.shape
@@ -496,21 +500,27 @@ def _expected_unique(reads_packed) -> int:
     nc = native.NativeCounter(K)
     if not nc.add_many(np.ascontiguousarray(bases)):
         raise RuntimeError("unexpected fallback unpacking bench reads")
-    ks, _ = nc.dump(1)
-    return ks.shape[0]
+    packed, qcounts = nc.dump_packed(1)
+    return packed, qcounts
 
 
-def phase_fused(engine, keys, reads_packed) -> np.ndarray | None:
+def phase_fused(engine, keys, reads_packed, stream_P=0) -> np.ndarray | None:
     """PRIMARY B: fused reads path (extraction + counting + query in one
     dispatch) over device-resident 2-bit packed reads. Returns the
     per-color counts when the full read set was used (comparable with the
-    stream phase), else None after an independent host-count check."""
+    stream phase); when a prefix was measured, cross-checks its counts
+    against one stream dispatch over the host-counted prefix k-mers
+    (padded to the stream phase's P so the compiled kernel is reused)."""
     import jax
 
     R = min(FUSED_READS, reads_packed.shape[0])
     sub = reads_packed[:R]
     full = R == reads_packed.shape[0]
-    n_expected = keys.shape[0] if full else _expected_unique(sub)
+    if full:
+        n_expected, pfx_packed, pfx_qc = keys.shape[0], None, None
+    else:
+        pfx_packed, pfx_qc = _prefix_kmers(sub)
+        n_expected = pfx_packed.shape[0]
     lens = np.full(R, READ_LEN, dtype=np.int32)
     with step("fused H2D", 150):
         reads_dev = jax.device_put(sub)
@@ -535,27 +545,86 @@ def phase_fused(engine, keys, reads_packed) -> np.ndarray | None:
     value = n_u / best
     log(f"fused reads ({R} reads): {value / 1e6:.2f} M kmers/s")
     record("fused", value)
-    return holder["out"][0].counts if full else None
+    if full:
+        return holder["out"][0].counts
+    # prefix cross-check: the stream path over the independently counted
+    # prefix k-mers must produce identical per-color counts (padding to the
+    # stream phase's P reuses its compiled kernel when available)
+    if engine._stream and stream_P:
+        from colorid_tpu.ops.stream_query import PC
+
+        P = max(((n_expected + PC - 1) // PC) * PC, stream_P)
+        pk = np.zeros((P, 2), dtype=np.uint32)
+        pk[:n_expected] = pfx_packed
+        qc32 = np.zeros(P, dtype=np.int32)
+        qc32[:n_expected] = np.maximum(pfx_qc, 1)
+        with step("fused prefix cross-check", 180):
+            chk = engine.search_keys_dev(
+                jax.device_put(pk), jax.device_put(qc32), k=K
+            )
+        if chk is not None:
+            if (chk.counts == res.counts).all():
+                log("parity check: fused prefix counts match the stream "
+                    f"path (total hits {int(chk.counts.sum())})")
+            else:
+                log("PARITY MISMATCH: fused prefix vs stream counts differ "
+                    f"({res.counts.tolist()} vs {chk.counts.tolist()}); "
+                    "dropping the fused measurement")
+                STATE.pop("fused", None)
+                STATE["parity"] = "fused_mismatch"
+                record("stream", STATE.get("stream") or 0.0)
+    return None
 
 
 def phase_classic(keys, qcounts, packed) -> None:
-    """LAST RESORT: classic-layout index + per-k-mer host shipping (the
-    round-1/2 primary; cheap compile, no stream kernel)."""
+    """Reference-placement (classic) layout, measured UNCONDITIONALLY each
+    round — the configuration whose TSVs can match the reference binary
+    bit-for-bit (xxh3 % bloom_size row placement, simple_bloom.rs:19-26).
+    Device-resident packed k-mers, steady-state span like phase_stream:
+    DISP async dispatches drain back-to-back + ONE stacked D2H fetch. The
+    engine picks its fastest eligible classic path internally."""
+    import jax
+    import jax.numpy as jnp
+
     from colorid_tpu.engine import QueryEngine
 
     index = build_or_load_index(blocked=False)
-    engine = QueryEngine(index, chunk=1 << 21)
-    qc = np.asarray(qcounts, dtype=np.int32)
+    with step("classic engine upload", 200):
+        engine = QueryEngine(index, chunk=1 << 20)
+        np.asarray(engine.blocks2[:1, :1])  # force the 200MB H2D
+    chunk = min(engine.chunk, 1 << 20)
+    n = packed.shape[0]
+    P = ((n + chunk - 1) // chunk) * chunk
+    pk = np.zeros((P, 2), dtype=np.uint32)
+    pk[:n] = packed
+    qc32 = np.zeros(P, dtype=np.int32)
+    qc32[:n] = np.maximum(qcounts, 1)
+    with step("classic H2D", 150):
+        pk_dev = jax.device_put(pk)
+        qc_dev = jax.device_put(qc32)
+        np.asarray(pk_dev[:1, :1])
+        np.asarray(qc_dev[:1])
+    DISP = int(os.environ.get("BENCH_STREAM_DISPATCHES", 4))
+    holder = {}
 
     def run():
-        return engine.search_keys(None, qcounts=qc, packed_all=packed, k=K)
+        outs = [
+            engine.search_keys_dev_generic_async(pk_dev, qc_dev, k=K)
+            for _ in range(DISP)
+        ]
+        big = np.asarray(jnp.stack([o[0] for o in outs]))
+        for i, o in enumerate(outs):
+            holder["res"] = engine.search_keys_dev_finish(
+                big[i], o[1], o[2], o[3]
+            )
 
-    with step("classic warm", 240):
+    with step("classic warm (compile + first run)", 300):
         run()
     with step("classic trials", 150):
         best = _trials("classic", run, 3, 120)
-    value = keys.shape[0] / best
-    log(f"classic: {value / 1e6:.2f} M kmers/s")
+    value = DISP * n / best
+    log(f"classic: {value / 1e6:.2f} M kmers/s "
+        f"({DISP} dispatches x {n} k-mers in {best:.3f}s)")
     record("classic", value)
 
 
@@ -679,7 +748,13 @@ def main():
     # -- PRIMARY B: fused reads path ----------------------------------------
     try:
         if remaining() > 90:
-            counts_b = phase_fused(bengine, keys, reads_packed)
+            from colorid_tpu.ops.stream_query import PC
+
+            stream_P = (
+                ((packed.shape[0] + PC - 1) // PC) * PC
+                if STATE.get("stream") else 0
+            )
+            counts_b = phase_fused(bengine, keys, reads_packed, stream_P)
     except _Deadline:
         if not measured():
             reexec("fused phase stalled")
@@ -703,14 +778,22 @@ def main():
             log("parity check: stream and fused per-color counts identical "
                 f"(total hits {int(counts_a.sum())})")
 
-    # -- LAST RESORT: classic path (only if both primaries failed) ----------
-    if not measured():
-        try:
+    # -- classic (reference-placement) layout: ALWAYS measured --------------
+    # The parity-exact configuration must carry an official number every
+    # round (it is also the last-resort primary when everything else fails).
+    try:
+        if ATTEMPT > 0 and STATE.get("classic"):
+            log(f"classic already measured ({STATE['classic']:.0f}); "
+                "skipping")
+        elif remaining() > 100 or not measured():
             phase_classic(keys, qcounts, packed)
-        except _Deadline:
+    except _Deadline:
+        if not measured():
             reexec("classic phase stalled")
-        except Exception as e:
-            log(f"classic phase failed ({type(e).__name__}: {e})")
+        log("classic phase stalled; continuing with recorded measurements")
+    except Exception as e:
+        log(f"classic phase failed ({type(e).__name__}: {e})")
+        if not measured():
             reexec("classic phase failed")
 
     # -- secondary: read_id --------------------------------------------------

@@ -24,6 +24,7 @@ from .ops.query import (
     PAD_POS,
     pack_matrix_blocks,
     query_accumulate_hash_scan,
+    query_accumulate_hash_scan_exact,
     query_accumulate_scan,
     query_readid_batch,
     query_readid_firsthit,
@@ -359,6 +360,11 @@ class QueryEngine:
         P = pk_dev.shape[0]
         if P % PC:
             raise ValueError(f"P must be a multiple of {PC}")
+        if pk_dev.dtype != jnp.uint32 or qc_dev.dtype != jnp.int32:
+            raise ValueError(
+                "search_keys_dev expects uint32 packed k-mers and int32 "
+                f"frequencies (0 = pad); got {pk_dev.dtype}/{qc_dev.dtype}"
+            )
         C = self.index.n_colors
         stats = jnp.concatenate(
             [
@@ -380,6 +386,53 @@ class QueryEngine:
             n_colors=C, bv=self.bv,
         )
         vec = jnp.concatenate([stats, nd[None], hist.reshape(-1)])
+        return vec, oc_buf, of_buf, capO
+
+    def search_keys_dev_generic_async(self, pk_dev, qc_dev, k: int):
+        """Device-resident exact-mode query through the GENERIC block-gather
+        path — works on every layout, including the reference-placement
+        classic rows (simple_bloom.rs:19-26) that the sorted-stream kernel's
+        split-lane layouts deliberately deviate from. Same async contract as
+        search_keys_dev_async: returns (vec, oc_buf, of_buf, capO) with vec
+        still on device so several dispatches can drain before ONE stacked
+        D2H; decode with search_keys_dev_finish. P must be a multiple of the
+        engine chunk; qcounts are full int32 frequencies with 0 = pad."""
+        if not (4 <= k <= 32 and self.index.bloom_size < 2**31):
+            raise ValueError("device hashing needs 4 <= k <= 32 and "
+                             "bloom_size < 2^31")
+        if pk_dev.dtype != jnp.uint32 or qc_dev.dtype != jnp.int32:
+            raise ValueError(
+                "search_keys_dev_generic expects uint32 packed k-mers and "
+                f"int32 frequencies (0 = pad); got {pk_dev.dtype}/"
+                f"{qc_dev.dtype}"
+            )
+        chunk = min(self.chunk, 1 << 20)
+        P = pk_dev.shape[0]
+        if P % chunk:
+            raise ValueError(f"P must be a multiple of {chunk}")
+        C = self.index.n_colors
+        stats = jnp.concatenate(
+            [
+                jnp.zeros(C, dtype=jnp.int32),
+                jnp.full(self.wpad, -1, dtype=jnp.int32),
+                jnp.array([1, 0], dtype=jnp.int32),
+            ]
+        )
+        hist = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
+        capO = 1 << 18
+        oc_buf = jnp.zeros(capO, dtype=jnp.int32)
+        of_buf = jnp.zeros(capO, dtype=jnp.int32)
+        stats, hist, oc_buf, of_buf = query_accumulate_hash_scan_exact(
+            stats, hist, oc_buf, of_buf,
+            self.blocks2, pk_dev, qc_dev,
+            wpad=self.wpad, chunk=chunk, k=k,
+            num_hash=self.index.num_hash,
+            bloom_size=self.index.bloom_size,
+            rpb=self.rpb, bv=self.bv or 1,
+        )
+        vec = jnp.concatenate(
+            [stats, jnp.zeros(1, dtype=jnp.int32), hist.reshape(-1)]
+        )
         return vec, oc_buf, of_buf, capO
 
     def search_keys_dev_finish(

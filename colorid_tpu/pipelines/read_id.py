@@ -427,6 +427,16 @@ def _gather_tie_prep(tie_batch_idx, group_preps, clean_idx, group_size):
         np.arange(len(tie_batch_idx), dtype=np.int16),
         np.asarray(n_mates, dtype=np.int64),
     )
+    # rank-plane dtype is chosen PER GROUP (uint8 with 255 = no-rank when
+    # the group's map length allows, else int16 with -1); a raw concatenate
+    # over mixed groups would promote uint8 255 markers into live rank-255
+    # entries, so re-encode uint8 groups to the int16 marker first
+    if len({r.dtype for r in rows_r}) > 1:
+        rows_r = [
+            np.where(r == 255, np.int16(-1), r.astype(np.int16))
+            if r.dtype == np.uint8 else r.astype(np.int16)
+            for r in rows_r
+        ]
     return (
         np.concatenate(rows_m), seg, np.concatenate(rows_l),
         np.concatenate(rows_r), None, Lb,

@@ -54,6 +54,8 @@ def test_bench_cold_cache_smoke(tmp_path):
     # in-bench parity check must have passed, and read_id must report
     assert rec.get("stream_kmers_per_s", 0) > 0, proc.stderr[-3000:]
     assert rec.get("fused_kmers_per_s", 0) > 0, proc.stderr[-3000:]
+    # the reference-placement (classic) layout must be measured every run
+    assert rec.get("classic_kmers_per_s", 0) > 0, proc.stderr[-3000:]
     assert rec.get("read_id_pairs_per_s", 0) > 0, proc.stderr[-3000:]
     assert "reads trial" in proc.stderr, proc.stderr[-3000:]
     assert "per-color counts identical" in proc.stderr, proc.stderr[-3000:]

@@ -140,3 +140,43 @@ def test_bincode_bxi_roundtrip(phage_index, tmp_path):
     # autodetection through BigsiIndex.load
     auto = BigsiIndex.load(str(p))
     np.testing.assert_array_equal(auto.matrix, index.matrix)
+
+
+def test_search_keys_dev_generic_matches_host_path(phage_index):
+    """Device-resident exact-mode generic query (the classic-layout
+    steady-state bench path, engine.search_keys_dev_generic_async) must
+    reproduce search_keys bit-for-bit: counts, and_all, freq stats."""
+    import jax.numpy as jnp
+
+    from colorid_tpu import native
+    from colorid_tpu.core.fastx import read_fasta
+
+    index, ref_map = phage_index
+    engine = QueryEngine(index, chunk=4096)
+    g = "".join(read_fasta(list(ref_map.values())[0][0])).upper()
+    L = 2000
+    n_r = min(16, len(g) // L)
+    reads = np.frombuffer(g[: n_r * L].encode(), np.uint8).reshape(n_r, L)
+    nc = native.NativeCounter(K)
+    assert nc.add_many(np.ascontiguousarray(reads))
+    packed, qcounts = nc.dump_packed(0)
+    n = packed.shape[0]
+    chunk = min(engine.chunk, 1 << 20)
+    P = ((n + chunk - 1) // chunk) * chunk
+    pk = np.zeros((P, 2), np.uint32)
+    pk[:n] = packed
+    qc = np.zeros(P, np.int32)
+    qc[:n] = np.maximum(qcounts, 1)
+    vec, oc, of, capO = engine.search_keys_dev_generic_async(
+        jnp.asarray(pk), jnp.asarray(qc), k=K
+    )
+    res = engine.search_keys_dev_finish(np.asarray(vec), oc, of, capO)
+    ref = engine.search_keys(
+        None, qcounts=np.maximum(qcounts, 1).astype(np.int32),
+        packed_all=packed, k=K,
+    )
+    assert res is not None
+    assert (res.counts == ref.counts).all()
+    assert res.all_valid == ref.all_valid
+    assert (res.and_all == ref.and_all).all()
+    assert res.freq_stats() == ref.freq_stats()

@@ -112,3 +112,37 @@ def test_rank_windows_contract():
         r = int(ranks[0][w])
         assert r >= 0
         assert ordered[r].tobytes() == key
+
+
+def test_gather_tie_prep_mixed_rank_dtypes():
+    """Mixed per-group rank-plane dtypes (uint8 with 255 = none vs int16
+    with -1 = none) must normalize to int16/-1 before concatenation: a raw
+    concat would promote uint8 255 markers into live rank-255 entries."""
+    from colorid_tpu.pipelines.read_id import _gather_tie_prep
+
+    W, NW = 10, 4
+    # group 0: one read, one mate, uint8 ranks (255 marks no-rank)
+    g0 = (
+        np.arange(W, dtype=np.uint32).reshape(1, W),
+        np.array([0], dtype=np.int32),
+        np.array([150], dtype=np.int32),
+        np.array([[3, 255, 0, 255]], dtype=np.uint8),
+        None,
+        150,
+    )
+    # group 1: one read, one mate, int16 ranks (-1 marks no-rank)
+    g1 = (
+        np.arange(W, 2 * W, dtype=np.uint32).reshape(1, W),
+        np.array([0], dtype=np.int32),
+        np.array([150], dtype=np.int32),
+        np.array([[-1, 7, 260, -1]], dtype=np.int16),
+        None,
+        150,
+    )
+    pr = _gather_tie_prep([0, 1], [g0, g1], [0, 1], 1)
+    assert pr is not None
+    mates, seg, lens, ranks, _maplen, Lb = pr
+    assert ranks.dtype == np.int16
+    assert ranks.tolist() == [[3, -1, 0, -1], [-1, 7, 260, -1]]
+    assert seg.tolist() == [0, 1]
+    assert Lb == 150
