@@ -592,9 +592,11 @@ def phase_classic(keys, qcounts, packed) -> None:
     with step("classic engine upload", 200):
         engine = QueryEngine(index, chunk=1 << 20)
         np.asarray(engine.blocks2[:1, :1])  # force the 200MB H2D
+        if engine._stream_classic:
+            np.asarray(engine._blocks_bp[:1, :1])  # byte planes too
     chunk = min(engine.chunk, 1 << 20)
     n = packed.shape[0]
-    P = ((n + chunk - 1) // chunk) * chunk
+    P = ((n + chunk - 1) // chunk) * chunk  # also a multiple of EPC_CL
     pk = np.zeros((P, 2), dtype=np.uint32)
     pk[:n] = packed
     qc32 = np.zeros(P, dtype=np.int32)
@@ -607,25 +609,48 @@ def phase_classic(keys, qcounts, packed) -> None:
     DISP = int(os.environ.get("BENCH_STREAM_DISPATCHES", 4))
     holder = {}
 
-    def run():
-        outs = [
-            engine.search_keys_dev_generic_async(pk_dev, qc_dev, k=K)
-            for _ in range(DISP)
-        ]
-        big = np.asarray(jnp.stack([o[0] for o in outs]))
-        for i, o in enumerate(outs):
-            holder["res"] = engine.search_keys_dev_finish(
-                big[i], o[1], o[2], o[3]
-            )
+    def make_run(dispatch):
+        def run():
+            outs = [dispatch(pk_dev, qc_dev, k=K) for _ in range(DISP)]
+            big = np.asarray(jnp.stack([o[0] for o in outs]))
+            for i, o in enumerate(outs):
+                holder["res"] = engine.search_keys_dev_finish(
+                    big[i], o[1], o[2], o[3]
+                )
+        return run
 
-    with step("classic warm (compile + first run)", 300):
-        run()
-    with step("classic trials", 150):
-        best = _trials("classic", run, 3, 120)
+    run_g = make_run(engine.search_keys_dev_generic_async)
+    with step("classic generic warm (compile + first run)", 300):
+        run_g()
+    counts_g = holder["res"].counts.copy()
+    with step("classic generic trials", 120):
+        best = _trials("classic-generic", run_g, 2, 60)
     value = DISP * n / best
-    log(f"classic: {value / 1e6:.2f} M kmers/s "
+    log(f"classic generic: {value / 1e6:.2f} M kmers/s "
         f"({DISP} dispatches x {n} k-mers in {best:.3f}s)")
     record("classic", value)
+
+    # classic sorted-row-stream kernel: must agree with the generic gather
+    # bit-for-bit on the same dispatch before its (faster) number counts
+    if engine._use_stream_classic(n, K):
+        run_s = make_run(engine.search_keys_dev_classic_async)
+        with step("classic stream warm (compile + first run)", 300):
+            run_s()
+        res_s = holder["res"]
+        if res_s is None:
+            log("classic stream residual capacity tripped; keeping generic")
+        elif not (res_s.counts == counts_g).all():
+            log("PARITY MISMATCH: classic stream vs generic per-color "
+                f"counts ({res_s.counts.tolist()} vs {counts_g.tolist()}); "
+                "keeping the generic number")
+            STATE["parity"] = (STATE.get("parity") or "") + "+classic"
+        else:
+            log("parity check: classic stream and generic counts identical")
+            with step("classic stream trials", 120):
+                best_s = _trials("classic-stream", run_s, 3, 90)
+            value_s = DISP * n / best_s
+            log(f"classic stream: {value_s / 1e6:.2f} M kmers/s")
+            record("classic", value_s)
 
 
 def phase_read_id(engine):

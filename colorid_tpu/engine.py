@@ -114,6 +114,7 @@ class QueryEngine:
             self._rid_reads = 8192
             self._rid_floor = 65536
         self._stream = False
+        self._stream_classic = False
         if (
             self.bv in (2, 3, 4)  # split-lane placements
             and index.num_hash in (1, 2, 4)  # the kernel's gather trees
@@ -126,6 +127,16 @@ class QueryEngine:
             # only materialized when streaming is enabled)
             self._blocks_bp = byte_plane_blocks(self.blocks2)
             self._stream = True
+        elif (
+            self.bv == 0  # reference-placement (classic) rows
+            and self.wpad == 1  # <= 32 colors (wider rows: generic gather)
+            and index.bloom_size < 2**31
+            and os.environ.get("COLORID_STREAM", "1") != "0"
+        ):
+            from .ops.stream_query import byte_plane_blocks
+
+            self._blocks_bp = byte_plane_blocks(self.blocks2)
+            self._stream_classic = True
 
     def _use_stream(self, seg_kmers: int) -> bool:
         """Sorted-stream kernel (default on for eligible blocked-v2
@@ -139,6 +150,22 @@ class QueryEngine:
             return True
         n_blocks = self.index.bloom_size // self.rpb
         return seg_kmers >= 4 * n_blocks
+
+    def _use_stream_classic(self, n_kmers: int, k: int | None) -> bool:
+        """Classic sorted-row stream (ops/stream_query.py::
+        stream_accumulate_classic_exact): pays off when the H*N row probes
+        are dense relative to the matrix blocks (a PC_CL-probe chunk must
+        span <= the kernel's 2-tile window, so >= ~32 probes/block);
+        sparse queries keep the generic gather."""
+        if not self._stream_classic or not (k and 4 <= k <= 32):
+            return False
+        if os.environ.get("COLORID_STREAM") == "force":
+            return True
+        from .ops.stream_query import PC_CL, T
+
+        n_blocks = self.blocks2.shape[0]
+        span = 2 * T  # the kernel's window, in blocks
+        return n_kmers * self.index.num_hash >= (PC_CL // span) * n_blocks
 
     # -- hashing ------------------------------------------------------------
 
@@ -213,6 +240,10 @@ class QueryEngine:
         if qcounts is None:
             qcounts = np.ones(n, dtype=np.int32)
         qcounts = np.asarray(qcounts, dtype=np.int32)
+        if packed_all is not None and self._use_stream_classic(n, k):
+            res = self._search_keys_classic_stream(packed_all, qcounts, k)
+            if res is not None:
+                return res
         stats = jnp.concatenate(
             [
                 jnp.zeros(C, dtype=jnp.int32),
@@ -433,6 +464,89 @@ class QueryEngine:
         vec = jnp.concatenate(
             [stats, jnp.zeros(1, dtype=jnp.int32), hist.reshape(-1)]
         )
+        return vec, oc_buf, of_buf, capO
+
+    def _search_keys_classic_stream(
+        self, packed_all: np.ndarray, qcounts: np.ndarray, k: int
+    ) -> SearchResult | None:
+        """Whole-batch classic sorted-row stream (host arrays in, one
+        dispatch + one fetch). None when the kernel's residual capacity was
+        exceeded, so search_keys falls through to the generic segments."""
+        from .ops.stream_query import EPC_CL, stream_accumulate_classic_exact
+
+        n = packed_all.shape[0]
+        P0 = _round_up(n, EPC_CL)
+        pk = np.zeros((P0, 2), dtype=np.uint32)
+        pk[:n] = packed_all
+        qc = np.zeros(P0, dtype=np.int32)
+        qc[:n] = np.maximum(qcounts[:n], 1)
+        C = self.index.n_colors
+        stats = jnp.concatenate(
+            [
+                jnp.zeros(C, dtype=jnp.int32),
+                jnp.full(self.wpad, -1, dtype=jnp.int32),
+                jnp.array([1, 0], dtype=jnp.int32),
+            ]
+        )
+        hist = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
+        capO = _round_up(n, 1024)
+        oc_buf = jnp.zeros(capO, dtype=jnp.int32)
+        of_buf = jnp.zeros(capO, dtype=jnp.int32)
+        stats, hist, oc_buf, of_buf, nd = stream_accumulate_classic_exact(
+            stats, hist, oc_buf, of_buf,
+            self.blocks2, self._blocks_bp,
+            jnp.asarray(pk), jnp.asarray(qc),
+            wpad=self.wpad, k=k, num_hash=self.index.num_hash,
+            bloom_size=self.index.bloom_size, n_colors=C,
+        )
+        if int(np.asarray(nd)) > 0:
+            return None
+        # exact mode: overflow slots carry frequencies directly
+        return self._collect(stats, hist, oc_buf, of_buf, capO, qcounts=None)
+
+    def search_keys_dev_classic_async(self, pk_dev, qc_dev, k: int):
+        """Device-resident classic sorted-row-stream dispatch — the fast
+        path for reference-placement indexes. Same async contract as
+        search_keys_dev_async (decode with search_keys_dev_finish; a None
+        decode means residual capacity tripped, re-run via
+        search_keys_dev_generic_async). P must be a multiple of EPC_CL."""
+        from .ops.stream_query import EPC_CL, stream_accumulate_classic_exact
+
+        if not self._stream_classic:
+            raise ValueError(
+                "search_keys_dev_classic requires a classic wpad==1 index"
+            )
+        if not (4 <= k <= 32):
+            raise ValueError("device hashing needs 4 <= k <= 32")
+        if pk_dev.dtype != jnp.uint32 or qc_dev.dtype != jnp.int32:
+            raise ValueError(
+                "search_keys_dev_classic expects uint32 packed k-mers and "
+                f"int32 frequencies (0 = pad); got {pk_dev.dtype}/"
+                f"{qc_dev.dtype}"
+            )
+        P0 = pk_dev.shape[0]
+        if P0 % EPC_CL:
+            raise ValueError(f"P must be a multiple of {EPC_CL}")
+        C = self.index.n_colors
+        stats = jnp.concatenate(
+            [
+                jnp.zeros(C, dtype=jnp.int32),
+                jnp.full(self.wpad, -1, dtype=jnp.int32),
+                jnp.array([1, 0], dtype=jnp.int32),
+            ]
+        )
+        hist = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
+        capO = _round_up(P0, 1024)
+        oc_buf = jnp.zeros(capO, dtype=jnp.int32)
+        of_buf = jnp.zeros(capO, dtype=jnp.int32)
+        stats, hist, oc_buf, of_buf, nd = stream_accumulate_classic_exact(
+            stats, hist, oc_buf, of_buf,
+            self.blocks2, self._blocks_bp,
+            pk_dev, qc_dev,
+            wpad=self.wpad, k=k, num_hash=self.index.num_hash,
+            bloom_size=self.index.bloom_size, n_colors=C,
+        )
+        vec = jnp.concatenate([stats, nd[None], hist.reshape(-1)])
         return vec, oc_buf, of_buf, capO
 
     def search_keys_dev_finish(

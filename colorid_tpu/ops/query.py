@@ -263,10 +263,25 @@ def _accumulate_one(
     >= FREQ_CAP route to the overflow list, which records the k-mer's GLOBAL
     index (base_idx + local); the host resolves exact frequencies from its
     own copy, so uint16 host transfer loses nothing."""
-    N = rows.shape[0]
+    andw, present = _and_present(blocks2, rows, wpad, rpb)
+    return _accumulate_tail(
+        stats, hist, over_col, over_freq, andw, present, mask, qcounts,
+        wpad, base_idx, gidx,
+    )
+
+
+def _accumulate_tail(
+    stats, hist, over_col, over_freq, andw, present, mask, qcounts, wpad,
+    base_idx, gidx=None,
+):
+    """Shared epilogue over pre-gathered per-k-mer AND words: counts,
+    uniq-hit detection, frequency histogram/overflow, global AND. Split out
+    of _accumulate_one so paths that produce the AND words differently
+    (e.g. the classic sorted-row stream, ops/stream_query.py) reuse the
+    exact accumulation semantics."""
+    N = andw.shape[0]
     W = wpad
     C = stats.shape[0] - W - 2
-    andw, present = _and_present(blocks2, rows, wpad, rpb)
     valid = present & mask
     bits = _unpack_bits(andw)[:, :C]
     vbits = bits * valid[:, None].astype(jnp.int32)

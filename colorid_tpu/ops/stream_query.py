@@ -433,6 +433,192 @@ def stream_accumulate_hash_exact(
     )
 
 
+# --- classic (reference-placement) sorted-row stream ------------------------
+#
+# The classic layout (simple_bloom.rs:19-26) places a k-mer's H rows
+# INDEPENDENTLY: row_i = xxh3_64_with_seed(kmer, i) % bloom_size. The blocked
+# kernels above are unreachable from it, so reference-bit-exact indexes used
+# to fall back to the generic block gather (~75M blocks/s = ~19M k-mers/s at
+# H=4). This path replaces that with a bandwidth-shaped plan: flatten the
+# H*P row probes, sort them by row, stream matrix tiles through a Pallas
+# window while each probe pulls its single u32 row word, un-sort the words
+# back to probe order with a second key sort, and recombine each k-mer's H
+# words with the shared AND/count/histogram epilogue (_accumulate_tail).
+# Both sorts are the dominant cost; the kernel itself runs PC_CL probes per
+# grid step (4x the blocked kernel) because its per-probe work is tiny.
+
+PC_CL = 8192  # classic-kernel probes per grid step
+NCH_CL = 64  # residual chunk capacity (chunk-granular re-run)
+EPC_CL = 65536  # epilogue scan segment; callers pad k-mer counts to this
+
+
+def _classic_word_kernel(tb_ref, blk_ref, off_ref, *refs, planes, nt, pc):
+    """Per sorted probe: word = matrix[row] as int32, where row = blk*128 +
+    off and blk lies in the chunk's nt-tile window. The gather contracts
+    LANES first — S[p, l] = (off[p] == l) against each 128-row tile's byte
+    plane gives A[p, r] = byte(row r, lane off[p]) on the int8 MXU — then a
+    single lane-gather over the tile-row axis selects r = blk[p]. Out-of-
+    window probes produce a garbage constant; the caller patches them via
+    the residual pass."""
+    tiles = refs[:nt]
+    (out_ref,) = refs[nt:]
+    j = pl.program_id(0)
+    base = tb_ref[j] * T
+    l2 = blk_ref[:] - base  # [pc] tile-window block index
+    li = jax.lax.broadcasted_iota(jnp.int32, (pc, 128), 1)
+    S = (off_ref[:][:, None] == li).astype(jnp.int8)  # lane one-hot
+    word = jnp.zeros((pc,), dtype=jnp.int32)
+    for t in range(nt):
+        comb = None
+        for p in range(planes):
+            A = jax.lax.dot_general(
+                S, tiles[t][:, 128 * p:128 * (p + 1)],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [pc, T]: byte p (offset -128) of word at (row, off[probe])
+            comb = A if comb is None else comb + A * (1 << (8 * p))
+        lt = l2 - t * T
+        sel = (lt >= 0) & (lt < T)
+        idx = jnp.broadcast_to(
+            jnp.clip(lt, 0, T - 1)[:, None], (pc, 128)
+        )
+        g = _lg(comb, idx)[:, 0]
+        word = word + jnp.where(sel, g, 0)
+    out_ref[:] = word + _deoffset(planes)
+
+
+@partial(jax.jit, static_argnames=("planes", "nt", "pc"))
+def _classic_call(blocks_bp, blk_s, off_s, tb, *, planes, nt, pc):
+    P = blk_s.shape[0]
+    n_chunks = P // pc
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((pc,), lambda j, tb: (j,)),
+            pl.BlockSpec((pc,), lambda j, tb: (j,)),
+        ] + [
+            pl.BlockSpec((T, 512), lambda j, tb, t=t: (tb[j] + t, 0))
+            for t in range(nt)
+        ],
+        out_specs=pl.BlockSpec((pc,), lambda j, tb: (j,)),
+    )
+    return pl.pallas_call(
+        partial(_classic_word_kernel, planes=planes, nt=nt, pc=pc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P,), jnp.int32),
+        interpret=_interpret(),
+    )(tb, blk_s, off_s, *([blocks_bp] * nt))
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2, 3),
+    static_argnames=("wpad", "k", "num_hash", "bloom_size", "n_colors"),
+)
+def stream_accumulate_classic_exact(
+    stats: jnp.ndarray,
+    hist: jnp.ndarray,
+    over_col: jnp.ndarray,
+    over_freq: jnp.ndarray,
+    blocks2: jnp.ndarray,
+    blocks_bp: jnp.ndarray,  # int8 [Rb, 512] byte planes
+    packed: jnp.ndarray,  # uint32 [P0, 2]; P0 % EPC_CL == 0
+    qcounts: jnp.ndarray,  # int32 [P0] FULL frequencies; 0 marks padding
+    *,
+    wpad: int,
+    k: int,
+    num_hash: int,
+    bloom_size: int,
+    n_colors: int,
+):
+    """Sorted-row-stream query for the CLASSIC (reference-placement) layout
+    in exact mode: same stats/hist/overflow contract as
+    stream_accumulate_hash_exact (overflow entries record the frequency
+    itself). Supports wpad == 1 (<= 32 colors); wider classic rows keep the
+    generic gather. Returns (..., n_dropped): nonzero n_dropped means the
+    residual chunk capacity was exceeded (sparse probe distributions) and
+    the caller must re-run generically."""
+    from .query import _accumulate_tail, _device_rows, _gather_rows
+
+    if wpad != 1:
+        raise ValueError("classic stream kernel supports wpad == 1")
+    P0 = packed.shape[0]
+    H = num_hash
+    rows = _device_rows(packed[:, 0], packed[:, 1], k, H, bloom_size, 0)
+    P = P0 * H
+    gidx = jnp.arange(P, dtype=jnp.int32)
+    row_s, gidx_s = jax.lax.sort((rows.reshape(-1), gidx), num_keys=1)
+    blk_s = row_s >> 7
+    off_s = row_s & 127
+    n_chunks = P // PC_CL
+    n_tiles = blocks2.shape[0] // T
+    nt = 2
+    firsts = blk_s.reshape(n_chunks, PC_CL)[:, 0]
+    tb = jnp.clip(firsts // T, 0, n_tiles - nt).astype(jnp.int32)
+    inwin2d = (blk_s.reshape(n_chunks, PC_CL) - tb[:, None] * T) < nt * T
+    planes = _n_planes(1, n_colors)
+    words = _classic_call(
+        blocks_bp, blk_s, off_s, tb, planes=planes, nt=nt, pc=PC_CL
+    )
+
+    # chunk-granular residual patch (same shape as _stream_core's): probes
+    # outside their chunk's window live in a few low-density chunks; their
+    # words re-fetch through the generic row gather and overwrite in place
+    res2d = ~inwin2d
+    chunk_res = res2d.sum(axis=1, dtype=jnp.int32)
+    n_res = chunk_res.sum()
+    has_res = chunk_res > 0
+    covered = has_res & (jnp.cumsum(has_res.astype(jnp.int32)) <= NCH_CL)
+    n_drop = jnp.sum(chunk_res * (has_res & ~covered).astype(jnp.int32))
+
+    def _patch(w):
+        w2 = w.reshape(n_chunks, PC_CL)
+        cidx = jnp.nonzero(has_res, size=NCH_CL, fill_value=n_chunks)[0]
+        cvalid = cidx < n_chunks
+        csafe = jnp.minimum(cidx, n_chunks - 1)
+        rrow = row_s.reshape(n_chunks, PC_CL)[csafe]  # [NCH_CL, PC_CL]
+        g = _gather_rows(blocks2, rrow.reshape(-1, 1), 1)
+        gw = jax.lax.bitcast_convert_type(
+            g.reshape(NCH_CL, PC_CL), jnp.int32
+        )
+        patched = jnp.where(res2d[csafe] & cvalid[:, None], gw, w2[csafe])
+        # write targets use the UNCLAMPED cidx: fill entries (cidx ==
+        # n_chunks) drop instead of clobbering the clamp row's patch
+        return w2.at[cidx].set(patched, mode="drop").reshape(-1)
+
+    words = jax.lax.cond(n_res > 0, _patch, lambda w: w, words)
+
+    # un-sort to probe order, then per-k-mer AND across the H words
+    _, words_u = jax.lax.sort((gidx_s, words), num_keys=1)
+    wordsH = words_u.reshape(P0, H)
+    andw_i = wordsH[:, 0]
+    for h in range(1, H):
+        andw_i = andw_i & wordsH[:, h]
+    andw = jax.lax.bitcast_convert_type(andw_i, jnp.uint32)[:, None]
+    present = (wordsH != 0).all(axis=1)
+    mask = qcounts > 0
+
+    n_seg = P0 // EPC_CL
+    aw = andw.reshape(n_seg, EPC_CL, 1)
+    pr = present.reshape(n_seg, EPC_CL)
+    mk = mask.reshape(n_seg, EPC_CL)
+    qc = qcounts.reshape(n_seg, EPC_CL)
+
+    def step(carry, xs):
+        st, hi, oc, of = carry
+        a, p, m, q = xs
+        # exact mode: overflow payload is the frequency itself (gidx=q)
+        return _accumulate_tail(
+            st, hi, oc, of, a, p, m, q, 1, jnp.int32(0), gidx=q
+        ), 0
+
+    (stats, hist, over_col, over_freq), _ = jax.lax.scan(
+        step, (stats, hist, over_col, over_freq), (aw, pr, mk, qc)
+    )
+    return stats, hist, over_col, over_freq, n_drop
+
+
 def pack_offsets(offs: list) -> jnp.ndarray:
     """Per-hash in-block offsets -> one uint32 with 8 bits per hash (the
     stream kernel's off_ref encoding; rpb <= 128 so offsets fit 7 bits)."""
