@@ -1064,6 +1064,62 @@ class QueryEngine:
             out[r0:r1] = np.asarray(report)[: r1 - r0]
         return out
 
+    def readid_counts_orderfree(
+        self,
+        mates_packed: np.ndarray,  # uint32 [M, ceil(L/16)]; M = n_reads*nm
+        lens: np.ndarray,  # int32 [M]
+        valid_bits: np.ndarray,  # uint32 [M, ceil(L/32)]
+        n_reads: int,
+        nm: int,
+        k: int,
+        L: int,
+        d: int = 1,
+    ) -> np.ndarray:
+        """Order-free read classifier pass (ops/query.py::
+        query_readid_orderfree_reads): the device dedups each read's
+        canonical k-mer set itself, so the host ships ONLY packed mates —
+        no hashbrown rank plane. Returns int32 [n_reads, C+3] (full counts,
+        any-absent flag, distinct-k-mer count, zero-hit-k-mer count);
+        pipelines/read_id.py decides which reads still need the exact
+        set-order replay."""
+        from .ops.query import query_readid_orderfree_reads
+
+        C = self.index.n_colors
+        out = np.zeros((n_reads, C + 3), dtype=np.int32)
+        READS = self._rid_reads
+        pending = []
+        for r0 in range(0, n_reads, READS):
+            r1 = min(r0 + READS, n_reads)
+            nr = r1 - r0
+            size = max(1 << (int(nr) - 1).bit_length(), 1024)
+            mp = np.zeros((size * nm, mates_packed.shape[1]), dtype=np.uint32)
+            mp[: nr * nm] = mates_packed[r0 * nm : r1 * nm]
+            ln = np.zeros(size * nm, dtype=np.int32)
+            ln[: nr * nm] = lens[r0 * nm : r1 * nm]
+            vb = np.zeros((size * nm, valid_bits.shape[1]), dtype=np.uint32)
+            vb[: nr * nm] = valid_bits[r0 * nm : r1 * nm]
+            rep = query_readid_orderfree_reads(
+                self.blocks2,
+                jnp.asarray(mp),
+                jnp.asarray(ln),
+                jnp.asarray(vb),
+                num_reads=size,
+                num_colors=C,
+                wpad=self.wpad,
+                k=k,
+                L=L,
+                nm=nm,
+                d=d,
+                num_hash=self.index.num_hash,
+                bloom_size=self.index.bloom_size,
+                rpb=self.rpb,
+                bv=self.bv or 1,
+            )
+            pending.append((r0, r1, rep))
+        for r0, r1, rep in pending:
+            out[r0:r1] = np.asarray(rep)[: r1 - r0]
+        return out
+
     def readid_counts_arrays(
         self,
         rows: np.ndarray,

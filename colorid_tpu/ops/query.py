@@ -763,6 +763,111 @@ def query_readid_reads_batch(
 @partial(
     jax.jit,
     static_argnames=(
+        "num_reads", "num_colors", "wpad", "k", "L", "nm", "d",
+        "num_hash", "bloom_size", "rpb", "bv",
+    ),
+)
+def query_readid_orderfree_reads(
+    blocks2: jnp.ndarray,
+    mates_packed: jnp.ndarray,  # uint32 [M, ceil(L/16)]; M = num_reads * nm
+    lens: jnp.ndarray,  # int32 [M] true mate lengths
+    valid_bits: jnp.ndarray,  # uint32 [M, ceil(L/32)] per-base validity
+    *,
+    num_reads: int,
+    num_colors: int,
+    wpad: int,
+    k: int,
+    L: int,
+    nm: int,  # mates per read (uniform)
+    d: int,
+    num_hash: int,
+    bloom_size: int,
+    rpb: int = 0,
+    bv: int = 1,
+):
+    """ORDER-FREE read classifier pass: full per-read per-color counts with
+    no break-on-absent and no -B candidate phase, plus the facts that decide
+    whether the exact set-order replay is needed at all.
+
+    The reference's per-read result depends on FnvHashSet iteration order
+    only through (a) the break at the first absent k-mer
+    (read_id_mt_pe.rs:88-89) and (b) the first-B candidate set
+    (read_id_mt_pe.rs:115-139). A color hit in phase 1 receives its FULL
+    count; a color not hit in phase 1 receives none. The host-side safety
+    test (pipelines/read_id.py::_resolve_orderfree) decides from this
+    pass's outputs whether ANY iteration order could change the outcome;
+    only the reads that fail it replay the exact hashbrown order.
+
+    The per-read k-mer SET is recovered on device: canonical windows sort
+    within each read (any order dedups a set) and duplicate windows are
+    masked out.
+
+    Returns int32 [num_reads, C + 3]: columns 0..C-1 = full counts,
+    column C = 1 if any distinct k-mer had an absent row, column C+1 = D
+    (distinct valid k-mer count), column C+2 = number of distinct k-mers
+    whose rows are all present but whose AND hits no color (these can make
+    the first-B candidate set empty under some orders).
+    """
+    from .extract import _unpack_codes, _window_limbs, _window_valid_ok
+
+    M = mates_packed.shape[0]
+    NW = L - k + 1
+    codes = _unpack_codes(mates_packed, L)
+    lo, hi = _window_limbs(codes, k, NW)  # [M, NW]
+    w_idx = jnp.arange(NW, dtype=jnp.int32)[None, :]
+    valid = w_idx + k <= lens[:, None]
+    if d > 1:
+        valid = valid & (w_idx % d == 0)
+    valid = valid & _window_valid_ok(valid_bits, L, k, NW)
+    SENT = jnp.uint32(0xFFFFFFFF)  # > any canonical key
+    WR = nm * NW  # windows per read
+    lo = jnp.where(valid, lo, SENT).reshape(num_reads, WR)
+    hi = jnp.where(valid, hi, SENT).reshape(num_reads, WR)
+    s_hi, s_lo = jax.lax.sort((hi, lo), dimension=1, num_keys=2)
+    first = jnp.concatenate(
+        [
+            jnp.ones((num_reads, 1), dtype=bool),
+            (s_hi[:, 1:] != s_hi[:, :-1]) | (s_lo[:, 1:] != s_lo[:, :-1]),
+        ],
+        axis=1,
+    )
+    uniq = first & ~((s_hi == SENT) & (s_lo == SENT))
+    D = uniq.sum(axis=1).astype(jnp.int32)
+
+    rows = _device_rows(
+        s_lo.reshape(-1), s_hi.reshape(-1), k, num_hash, bloom_size, rpb, bv
+    )
+    andw, present = _and_present(blocks2, rows, wpad, rpb)
+    u = uniq.reshape(-1)
+    counted = u & present
+    bits = _unpack_bits(andw)[:, :num_colors]
+    cbits = bits * counted[:, None].astype(jnp.int32)
+    seg = jnp.broadcast_to(
+        jnp.arange(num_reads, dtype=jnp.int32)[:, None], (num_reads, WR)
+    ).reshape(-1)
+    report = (
+        jnp.zeros((num_reads, num_colors), dtype=jnp.int32)
+        .at[seg]
+        .add(cbits)
+    )
+    absent = (u & ~present).reshape(num_reads, WR).any(axis=1)
+    zerohit = (counted & (bits.sum(axis=1) == 0)).reshape(
+        num_reads, WR
+    ).sum(axis=1).astype(jnp.int32)
+    return jnp.concatenate(
+        [
+            report,
+            absent.astype(jnp.int32)[:, None],
+            D[:, None],
+            zerohit[:, None],
+        ],
+        axis=1,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "num_reads", "start_sample", "num_colors", "wpad", "k", "L",
         "num_hash", "bloom_size", "rpb", "bv",
     ),

@@ -182,6 +182,120 @@ def _prepare_reads(batch, todo_idx, k, d, fnv):
     return packed, seg, lens.astype(np.int32), ranks, maplen, Lb
 
 
+def _ranges(lens: np.ndarray) -> np.ndarray:
+    """concat(arange(l) for l in lens), vectorized."""
+    total = int(lens.sum())
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+
+
+def _prepare_reads_orderfree(batch, todo_idx, k):
+    """Host prep for the order-free classifier pass: pack mates to 2-bit
+    words + a per-base validity plane, NO hashbrown rank replay (the device
+    dedups each read's k-mer set itself). Returns (words, lens, valid_bits,
+    nm, Lb) or None (non-uniform mate counts / oversized / empty), in which
+    case the caller uses the exact-order machinery for the whole group."""
+    from ..ops.extract import pack_reads_valid
+
+    seqs = []
+    nm = None
+    for i in todo_idx:
+        mates = batch[i][1]
+        if nm is None:
+            nm = len(mates)
+        elif len(mates) != nm:
+            return None
+        seqs.extend(mates)
+    if not seqs or nm == 0:
+        return None
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    Lmax = int(lens.max())
+    if Lmax < k or Lmax > 4096:
+        return None
+    Lb = max(64, -(-Lmax // 32) * 32)
+    M = len(seqs)
+    rect = np.full((M, Lb), ord("A"), dtype=np.uint8)
+    flat = np.repeat(np.arange(M, dtype=np.int64) * Lb, lens) + _ranges(lens)
+    rect.reshape(-1)[flat] = np.concatenate(seqs)
+    words, vbits = pack_reads_valid(rect)
+    return words, lens.astype(np.int32), vbits, nm, Lb
+
+
+def _resolve_orderfree(
+    batch, group, engine, rep0, p_false, fp_correct, start_sample, d, fnv
+):
+    """Exact report rows from the order-free pass: keep full counts for
+    reads whose outcome provably cannot depend on FnvHashSet order; replay
+    the exact hashbrown-order path for the rest. Returns (report [n, C+1],
+    maplen [n]).
+
+    Order only enters through the break at the first absent k-mer and the
+    first-B candidate set (colors hit within the first B distinct k-mers
+    get their FULL count; others never enter the report map). With no
+    absent k-mer, the poll outcome is a function of the significant
+    colors' counts at the top tier and of report emptiness, so full counts
+    are exact under EVERY order when:
+    - every significant color with count == top_count has count
+      > D - B (pigeonhole: any B of the D k-mers then contains one of its
+      hits, so the whole top tier is in every possible candidate set;
+      colors below the top tier cannot change name/support/n_top whether
+      present or absent), and
+    - fewer than B distinct k-mers are zero-hit-but-present (otherwise
+      the first B k-mers could ALL be zero-hit, making the candidate set
+      and hence the report empty -> "no_hits" instead of the full-count
+      outcome).
+    Reads with B == 0 only need the no-absent condition (no candidate
+    phase exists). Tied-top reads keep their (exact) counts here; the
+    existing tie fixup reconstructs the reference's name order."""
+    C = engine.index.n_colors
+    k = engine.index.k_size
+    n = len(group)
+    counts = rep0[:, :C].astype(np.int64)
+    absent = rep0[:, C] > 0
+    Dn = rep0[:, C + 1].astype(np.int64)
+    zerohit = rep0[:, C + 2].astype(np.int64)
+    unsafe = absent.copy()
+    if start_sample > 0:
+        nz_r, nz_c = np.nonzero(counts > 0)
+        sig = np.zeros(counts.shape, dtype=bool)
+        if nz_r.size:
+            sig[nz_r, nz_c] = ~not_fp_significant_mask(
+                Dn[nz_r], p_false[nz_c], counts[nz_r, nz_c], fp_correct
+            )
+        top_count = np.where(sig, counts, -1).max(
+            axis=1, initial=-1
+        )
+        unsafe |= (top_count >= 0) & (top_count <= Dn - start_sample)
+        unsafe |= (zerohit >= start_sample) & (
+            counts.max(axis=1, initial=0) > 0
+        )
+    rep = np.zeros((n, C + 1), dtype=np.int32)
+    rep[:, :C] = rep0[:, :C]
+    ml = Dn.copy()
+    if unsafe.any():
+        uj = np.nonzero(unsafe)[0]
+        sub = [group[j] for j in uj]
+        pr = _prepare_reads(batch, sub, k, d, fnv)
+        if pr is not None:
+            mates, mseg, mlens, ranks, maplen, Lb = pr
+            rep_u = engine.readid_counts_reads(
+                mates, mseg, mlens, ranks, len(sub), start_sample, k, Lb
+            )
+            ml_u = np.asarray(maplen)
+        else:
+            keys_list = [
+                kmer_set(batch[i][1], k, d=d, minimizer=0) for i in sub
+            ]
+            if fnv:
+                keys_list = [_fnv_order_keys(ks) for ks in keys_list]
+            ml_u = np.array([ks.shape[0] for ks in keys_list])
+            rep_u = engine.readid_counts(keys_list, start_sample)
+        rep[uj] = rep_u
+        ml[uj] = ml_u
+    return rep, ml
+
+
 def _prepare_native(batch, todo_idx, index, d, packed_ok):
     """Flattened per-read k-mer arrays via the C++ fast path.
 
@@ -284,13 +398,18 @@ def classify_batch(
         and hasattr(engine, "readid_counts_reads")
         and os.environ.get("COLORID_RID_READS", "1") != "0"
     )
+    # order-free fast path: skip the host hashbrown replay for reads whose
+    # outcome provably cannot depend on set order (_resolve_orderfree)
+    safe_path = (
+        reads_path and os.environ.get("COLORID_RID_SAFE", "1") != "0"
+    )
     groups = [
         clean_idx[g0 : g0 + GROUP]
         for g0 in range(0, len(clean_idx), GROUP)
     ]
     group_preps: list = []  # per-group prepared tuples, kept for tie fixup
     pr_iter = None
-    if reads_path and threads > 1 and len(groups) > 1:
+    if reads_path and not safe_path and threads > 1 and len(groups) > 1:
         # prefetch group preparation (the C++ rank emulation releases the
         # GIL) so it overlaps the previous group's device round trip — the
         # reference's rayon pool (-t) mapped onto the prepare stage
@@ -303,6 +422,21 @@ def classify_batch(
         pr_iter = iter(futs)
     try:
         for group in groups:
+            if safe_path:
+                pr0 = _prepare_reads_orderfree(batch, group, k)
+                if pr0 is not None:
+                    words, mlens, vbits, nm, Lb = pr0
+                    rep0 = engine.readid_counts_orderfree(
+                        words, mlens, vbits, len(group), nm, k, Lb, d
+                    )
+                    rep, ml = _resolve_orderfree(
+                        batch, group, engine, rep0, p_false, fp_correct,
+                        start_sample, d, fnv,
+                    )
+                    group_preps.append(None)
+                    report_parts.append(rep)
+                    maplen_parts.append(ml)
+                    continue
             if reads_path:
                 pr = (
                     next(pr_iter).result()

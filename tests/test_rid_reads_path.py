@@ -146,3 +146,96 @@ def test_gather_tie_prep_mixed_rank_dtypes():
     assert ranks.tolist() == [[3, -1, 0, -1], [-1, 7, 260, -1]]
     assert seg.tolist() == [0, 1]
     assert Lb == 150
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+@pytest.mark.parametrize("blocked", [False, True])
+def test_orderfree_safe_path_byte_parity(fqs, tmp_path, blocked):
+    """COLORID_RID_SAFE=1 (order-free pass + selective exact replay) must be
+    byte-identical to the always-replay path on an adversarial mix that
+    drives every unsafe branch: junk reads (absent k-mers -> break),
+    chimeric reads (all k-mers present but the top color misses many ->
+    the pigeonhole test fails), and clean reads (provably safe)."""
+    import gzip
+
+    refs, _fq1, _fq2, _tmp = fqs
+    rng = np.random.default_rng(17)
+    gs = ["".join(read_fasta(p[0])).upper() for p in refs.values()]
+    fq1 = str(tmp_path / "c1.fq.gz")
+    fq2 = str(tmp_path / "c2.fq.gz")
+    with gzip.open(fq1, "wt") as f1, gzip.open(fq2, "wt") as f2:
+        for i in range(600):
+            ga = gs[int(rng.integers(0, len(gs)))]
+            gb = gs[int(rng.integers(0, len(gs)))]
+            s1 = int(rng.integers(0, len(ga) - 160))
+            s2 = int(rng.integers(0, len(gb) - 160))
+            if i % 3 == 0:  # chimera: half from each genome
+                r1 = ga[s1 : s1 + 75] + gb[s2 : s2 + 75]
+            elif i % 7 == 0:  # junk
+                r1 = "".join("ACGT"[c] for c in rng.integers(0, 4, 150))
+            else:
+                r1 = ga[s1 : s1 + 150]
+            r2 = gb[s2 : s2 + 150]
+            f1.write(f"@r{i}\n{r1}\n+\n{'I' * len(r1)}\n")
+            f2.write(f"@r{i}\n{r2}\n+\n{'I' * len(r2)}\n")
+    index = build_index(refs, 750_000, 4, 27, verbose=False, blocked=blocked)
+    engine = QueryEngine(index)
+    outs = {}
+    for env in ("0", "1"):
+        os.environ["COLORID_RID_SAFE"] = env
+        try:
+            pfx = str(tmp_path / f"safe{env}_b{int(blocked)}")
+            read_id([fq1, fq2], engine, prefix=pfx)
+        finally:
+            del os.environ["COLORID_RID_SAFE"]
+        outs[env] = (
+            open(pfx + "_reads.txt").read(),
+            open(pfx + "_counts.txt").read(),
+        )
+    assert outs["0"][0] == outs["1"][0]
+    assert outs["0"][1] == outs["1"][1]
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib required")
+def test_orderfree_split_nontrivial(fqs):
+    """The safety test must actually split: the adversarial mix in the
+    module fixture holds both provably-safe reads and reads needing the
+    exact replay (otherwise the parity test above proves nothing)."""
+    from colorid_tpu.pipelines import read_id as rid
+
+    refs, fq1, fq2, _tmp = fqs
+    index = build_index(refs, 750_000, 4, 27, verbose=False)
+    engine = QueryEngine(index)
+    calls = {"n": 0, "reads": 0}
+    orig = rid._prepare_reads
+
+    def spy(batch, idx, k, d, fnv):
+        calls["n"] += 1
+        calls["reads"] += len(idx)
+        return orig(batch, idx, k, d, fnv)
+
+    rid._prepare_reads = spy
+    try:
+        import gzip
+
+        batch = []
+        with gzip.open(fq1, "rt") as f1, gzip.open(fq2, "rt") as f2:
+            l1, l2 = f1.readlines(), f2.readlines()
+        for j in range(0, len(l1), 4):
+            batch.append(
+                (
+                    l1[j].split()[0],
+                    [
+                        np.frombuffer(l1[j + 1].strip().encode(), np.uint8),
+                        np.frombuffer(l2[j + 1].strip().encode(), np.uint8),
+                    ],
+                )
+            )
+        rows = rid.classify_batch(batch, engine, 1, 1e-3, 3)
+    finally:
+        rid._prepare_reads = orig
+    assert all(r is not None for r in rows)
+    # some reads replayed exactly...
+    assert calls["reads"] > 0
+    # ...but far from all of them (the safe majority skipped the replay)
+    assert calls["reads"] < len(batch) // 2
