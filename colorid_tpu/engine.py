@@ -95,13 +95,26 @@ class QueryEngine:
         self.rpb = (128 // self.wpad) if self.bv else 0
         q = max(self.wpad // 128, 1)
         # device addressing is per-block (int32): rows <= one block need only
-        # the row index to fit; wide rows address bloom_size * q blocks
+        # the row index to fit; wide rows address bloom_size * q blocks.
+        # Beyond int32 row addressing the engine switches to the wide path:
+        # the host pre-splits every row index into (block, lane) int32 pairs
+        # (ops/query.py::split_rows_wide), keeping the reference's open-ended
+        # usize bloom_size domain (src/main.rs:475-477) up to 2^38 bits.
         addr = index.bloom_size * (q if self.wpad > 128 else 1)
+        self._wide = False
         if addr >= 2**31:
-            raise ValueError(
-                "bloom_size exceeds int32 device block addressing for this "
-                "color width; shard colors or rows across devices instead"
-            )
+            if self.bv or self.wpad > 128:
+                raise ValueError(
+                    "bloom_size exceeds int32 device block addressing for "
+                    "this layout; use a classic index (<= 4096 colors) or "
+                    "shard colors/rows across devices"
+                )
+            if index.bloom_size * self.wpad >= 2**38:
+                raise ValueError(
+                    "bloom_size exceeds wide block addressing (2^38 bits); "
+                    "shard rows across devices"
+                )
+            self._wide = True
         # wide rows multiply the epilogue's [chunk, colors] footprint; cap
         # the scan chunk (and batch pad floors) so it stays HBM-friendly
         if self.wpad > 128:
@@ -178,13 +191,20 @@ class QueryEngine:
                 keys, self.index.num_hash, self.index.bloom_size, self.rpb,
                 version=self.bv,
             ).astype(np.int32)
-        if keys.shape[0] and native.available():
+        dt = np.int64 if self._wide else np.int32
+        # the native row hasher emits uint32 rows: valid through 2^32;
+        # larger blooms take the numpy uint64 path
+        if (
+            keys.shape[0]
+            and native.available()
+            and self.index.bloom_size <= 2**32
+        ):
             return native.xxh3_rows(
                 keys, self.index.num_hash, self.index.bloom_size
-            ).astype(np.int32)
+            ).astype(dt)
         return bloom_rows_batch(
             keys, self.index.num_hash, self.index.bloom_size
-        ).astype(np.int32)
+        ).astype(dt)
 
     # -- search (batch_search_pe / perfect_search hot loop) ------------------
 
@@ -317,10 +337,30 @@ class QueryEngine:
                     bv=self.bv or 1,
                 )
                 continue
-            rows = np.zeros((size, self.index.num_hash), dtype=np.int32)
-            rows[:m] = rows_all[start:stop]
             mask = np.zeros(size, dtype=bool)
             mask[:m] = True
+            if self._wide:
+                from .ops.query import (
+                    query_accumulate_scan_wide,
+                    split_rows_wide,
+                )
+
+                rows = np.zeros(
+                    (size, self.index.num_hash), dtype=np.int64
+                )
+                rows[:m] = rows_all[start:stop]
+                blk, lane0 = split_rows_wide(rows, self.wpad)
+                stats, hist, oc_buf, of_buf = query_accumulate_scan_wide(
+                    stats, hist, oc_buf, of_buf,
+                    self.blocks2,
+                    jnp.asarray(blk), jnp.asarray(lane0),
+                    jnp.asarray(mask), jnp.asarray(qc),
+                    jnp.int32(start),
+                    wpad=self.wpad, chunk=csize,
+                )
+                continue
+            rows = np.zeros((size, self.index.num_hash), dtype=np.int32)
+            rows[:m] = rows_all[start:stop]
             stats, hist, oc_buf, of_buf = query_accumulate_scan(
                 stats,
                 hist,
@@ -874,29 +914,47 @@ class QueryEngine:
             rows_parts.append(self.rows_for_keys(keys))
         if not rows_parts:
             return out
-        rows = np.concatenate(rows_parts, axis=0).astype(np.int32, copy=False)
+        rows = np.concatenate(rows_parts, axis=0).astype(
+            np.int64 if self._wide else np.int32, copy=False
+        )
         seg = np.concatenate(seg_ids)
         pos = np.concatenate(kmer_pos)
         n = rows.shape[0]
         size = max(1 << (n - 1).bit_length(), 1024)
-        rows_p = np.zeros((size, self.index.num_hash), dtype=np.int32)
+        rows_p = np.zeros((size, self.index.num_hash), dtype=rows.dtype)
         rows_p[:n] = rows
         seg_p = np.zeros(size, dtype=np.int32)
         seg_p[:n] = seg
         pos_p = np.full(size, PAD_POS, dtype=np.int32)
         pos_p[:n] = pos
         n_pad = max(1 << (n_reads - 1).bit_length(), 16)
-        rep = query_readid_firsthit(
-            self.blocks2,
-            jnp.asarray(rows_p),
-            jnp.asarray(seg_p),
-            jnp.asarray(pos_p),
-            num_reads=n_pad,
-            start_sample=start_sample,
-            num_colors=C,
-            wpad=self.wpad,
-            rpb=self.rpb,
-        )
+        if self._wide:
+            from .ops.query import query_readid_firsthit_wide, split_rows_wide
+
+            blk, lane0 = split_rows_wide(rows_p, self.wpad)
+            rep = query_readid_firsthit_wide(
+                self.blocks2,
+                jnp.asarray(blk),
+                jnp.asarray(lane0),
+                jnp.asarray(seg_p),
+                jnp.asarray(pos_p),
+                num_reads=n_pad,
+                start_sample=start_sample,
+                num_colors=C,
+                wpad=self.wpad,
+            )
+        else:
+            rep = query_readid_firsthit(
+                self.blocks2,
+                jnp.asarray(rows_p),
+                jnp.asarray(seg_p),
+                jnp.asarray(pos_p),
+                num_reads=n_pad,
+                start_sample=start_sample,
+                num_colors=C,
+                wpad=self.wpad,
+                rpb=self.rpb,
+            )
         out[:] = np.asarray(rep)[:n_reads]
         return out
 
@@ -1135,7 +1193,7 @@ class QueryEngine:
         C = self.index.n_colors
         out = np.zeros((n_reads, C + 1), dtype=np.int32)
         READS = self._rid_reads
-        rows = rows.astype(np.int32, copy=False)
+        rows = rows.astype(np.int64 if self._wide else np.int32, copy=False)
         pending = []  # dispatch all chunks, then fetch (pipelined D2H)
         for r0 in range(0, n_reads, READS):
             r1 = min(r0 + READS, n_reads)
@@ -1145,23 +1203,39 @@ class QueryEngine:
             if n == 0:
                 continue
             size = max(1 << (int(max(n, 1)) - 1).bit_length(), self._rid_floor)
-            rows_p = np.zeros((size, self.index.num_hash), dtype=np.int32)
+            rows_p = np.zeros((size, self.index.num_hash), dtype=rows.dtype)
             rows_p[:n] = rows[lo:hi]
             seg_p = np.zeros(size, dtype=np.int32)
             seg_p[:n] = seg[lo:hi] - r0
             pos_p = np.full(size, PAD_POS, dtype=np.int32)
             pos_p[:n] = pos[lo:hi]
-            report = query_readid_batch(
-                self.blocks2,
-                jnp.asarray(rows_p),
-                jnp.asarray(seg_p),
-                jnp.asarray(pos_p),
-                num_reads=READS,
-                start_sample=start_sample,
-                num_colors=C,
-                wpad=self.wpad,
-                rpb=self.rpb,
-            )
+            if self._wide:
+                from .ops.query import query_readid_batch_wide, split_rows_wide
+
+                blk, lane0 = split_rows_wide(rows_p, self.wpad)
+                report = query_readid_batch_wide(
+                    self.blocks2,
+                    jnp.asarray(blk),
+                    jnp.asarray(lane0),
+                    jnp.asarray(seg_p),
+                    jnp.asarray(pos_p),
+                    num_reads=READS,
+                    start_sample=start_sample,
+                    num_colors=C,
+                    wpad=self.wpad,
+                )
+            else:
+                report = query_readid_batch(
+                    self.blocks2,
+                    jnp.asarray(rows_p),
+                    jnp.asarray(seg_p),
+                    jnp.asarray(pos_p),
+                    num_reads=READS,
+                    start_sample=start_sample,
+                    num_colors=C,
+                    wpad=self.wpad,
+                    rpb=self.rpb,
+                )
             pending.append((r0, r1, report))
         for r0, r1, report in pending:
             out[r0:r1] = np.asarray(report)[: r1 - r0]

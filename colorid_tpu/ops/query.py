@@ -145,17 +145,63 @@ def _gather_rows_blocked(blocks2, rows, wpad: int, rpb: int):
     return vals.reshape(N, H, wpad)
 
 
+def _gather_rows_bl(blocks2, blk, lane0, wpad: int):
+    """Row gather from pre-split (block, lane) int32 pairs — the wide-bloom
+    addressing path: a row index beyond int32 (bloom_size >= 2^31) is split
+    HOST-side into blk = row // rows_per_block (< 2^31 while bloom_size *
+    wpad < 2^38) and lane0 = (row % rows_per_block) * wpad, so no int64
+    ever reaches the device."""
+    N, H = blk.shape
+    b = blk.reshape(-1)
+    l0 = lane0.reshape(-1)
+    P = b.shape[0]
+    n_chunks = 8 if P % 8 == 0 else 1
+    lanes = jnp.arange(128, dtype=jnp.int32)[None, :]
+
+    def chunk(carry, xs):
+        bb, ll = xs
+        bl = jnp.take(blocks2, bb, axis=0)  # [CP, 128]
+        outs = [
+            (bl * (lanes == (ll + w)[:, None]).astype(jnp.uint32)).sum(
+                axis=1, dtype=jnp.uint32
+            )
+            for w in range(wpad)
+        ]
+        return carry, jnp.stack(outs, axis=1)
+
+    _, vals = jax.lax.scan(
+        chunk, 0,
+        (b.reshape(n_chunks, P // n_chunks),
+         l0.reshape(n_chunks, P // n_chunks)),
+    )
+    return vals.reshape(N, H, wpad)
+
+
+def split_rows_wide(rows: np.ndarray, wpad: int):
+    """Host-side split of int64 row indices [N, H] into the (blk, lane0)
+    int32 pair _gather_rows_bl expects. Valid while bloom_size * wpad
+    < 2^38."""
+    rpw = 128 // wpad
+    blk = (rows // rpw).astype(np.int32)
+    lane0 = ((rows % rpw) * np.int64(wpad)).astype(np.int32)
+    return blk, lane0
+
+
+def _and_present_g(g):
+    present = (g != 0).any(axis=2).all(axis=1)
+    andw = g[:, 0, :]
+    for h in range(1, g.shape[1]):
+        andw = andw & g[:, h, :]
+    return andw, present
+
+
 def _and_present(blocks2, rows, wpad: int, rpb: int = 0):
     """AND over the hash axis + row-presence, via the fast gather."""
     if rpb:
         g = _gather_rows_blocked(blocks2, rows, wpad, rpb)
     else:
         g = _gather_rows(blocks2, rows, wpad)  # [N, H, wpad]
-    present = (g != 0).any(axis=2).all(axis=1)
-    andw = g[:, 0, :]
-    for h in range(1, g.shape[1]):
-        andw = andw & g[:, h, :]
-    return andw, present
+    return _and_present_g(g)
 
 
 @partial(jax.jit, static_argnames=("wpad", "rpb"))
@@ -398,6 +444,106 @@ def query_accumulate_scan(
 @partial(
     jax.jit,
     donate_argnums=(0, 1, 2, 3),
+    static_argnames=("wpad", "chunk"),
+)
+def query_accumulate_scan_wide(
+    stats: jnp.ndarray,
+    hist: jnp.ndarray,
+    over_col: jnp.ndarray,
+    over_freq: jnp.ndarray,
+    blocks2: jnp.ndarray,
+    blk: jnp.ndarray,  # int32 [n_pad, H] block index (split_rows_wide)
+    lane0: jnp.ndarray,  # int32 [n_pad, H] first lane of the row's words
+    mask: jnp.ndarray,  # bool [n_pad]
+    qcounts: jnp.ndarray,  # uint16 [n_pad], clipped frequencies
+    base0: jnp.ndarray,  # int32 [] global index of blk[0]
+    *,
+    wpad: int,
+    chunk: int,
+):
+    """query_accumulate_scan for bloom sizes beyond int32 row addressing
+    (>= 2^31): the host pre-splits each row into (block, lane) so device
+    indices stay int32 — sound while bloom_size * wpad < 2^38. The
+    reference accepts any usize bloom size (src/main.rs:475-477,
+    src/bigsi.rs:20-27); this keeps that input domain open on TPU."""
+    n = blk.shape[0]
+    n_chunks = n // chunk
+    blk_c = blk.reshape(n_chunks, chunk, blk.shape[1])
+    lan_c = lane0.reshape(n_chunks, chunk, lane0.shape[1])
+    mask_c = mask.reshape(n_chunks, chunk)
+    qc_c = qcounts.reshape(n_chunks, chunk)
+    bases = base0 + jnp.arange(n_chunks, dtype=jnp.int32) * np.int32(chunk)
+
+    def step(carry, xs):
+        stats, hist, over_col, over_freq = carry
+        b, l, m, q, bs = xs
+        ap = _and_present_g(_gather_rows_bl(blocks2, b, l, wpad))
+        stats, hist, over_col, over_freq = _accumulate_tail(
+            stats, hist, over_col, over_freq, ap[0], ap[1], m,
+            q.astype(jnp.int32), wpad, bs,
+        )
+        return (stats, hist, over_col, over_freq), 0
+
+    (stats, hist, over_col, over_freq), _ = jax.lax.scan(
+        step, (stats, hist, over_col, over_freq),
+        (blk_c, lan_c, mask_c, qc_c, bases),
+    )
+    return stats, hist, over_col, over_freq
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_reads", "start_sample", "num_colors", "wpad"),
+)
+def query_readid_batch_wide(
+    blocks2: jnp.ndarray,
+    blk: jnp.ndarray,  # int32 [N, H]
+    lane0: jnp.ndarray,  # int32 [N, H]
+    seg_ids: jnp.ndarray,
+    kmer_pos: jnp.ndarray,
+    *,
+    num_reads: int,
+    start_sample: int,
+    num_colors: int,
+    wpad: int,
+):
+    """query_readid_batch with pre-split wide-bloom addressing."""
+    ap = _and_present_g(_gather_rows_bl(blocks2, blk, lane0, wpad))
+    return _readid_core(
+        blocks2, blk, seg_ids, kmer_pos,
+        num_reads=num_reads, start_sample=start_sample,
+        num_colors=num_colors, wpad=wpad, ap=ap,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_reads", "start_sample", "num_colors", "wpad"),
+)
+def query_readid_firsthit_wide(
+    blocks2: jnp.ndarray,
+    blk: jnp.ndarray,
+    lane0: jnp.ndarray,
+    seg_ids: jnp.ndarray,
+    kmer_pos: jnp.ndarray,
+    *,
+    num_reads: int,
+    start_sample: int,
+    num_colors: int,
+    wpad: int,
+):
+    """query_readid_firsthit with pre-split wide-bloom addressing."""
+    ap = _and_present_g(_gather_rows_bl(blocks2, blk, lane0, wpad))
+    return _readid_firsthit_core(
+        blocks2, blk, seg_ids, kmer_pos,
+        num_reads=num_reads, start_sample=start_sample,
+        num_colors=num_colors, wpad=wpad, ap=ap,
+    )
+
+
+@partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2, 3),
     static_argnames=("wpad", "chunk", "k", "num_hash", "bloom_size", "rpb",
                      "bv"),
 )
@@ -559,10 +705,12 @@ def query_readid_batch(
 
 def _readid_core(
     blocks2, rows, seg_ids, kmer_pos, *, num_reads, start_sample,
-    num_colors, wpad, rpb=0,
+    num_colors, wpad, rpb=0, ap=None,
 ):
     n_reads = num_reads
-    andw, present_all = _and_present(blocks2, rows, wpad, rpb)
+    andw, present_all = (
+        ap if ap is not None else _and_present(blocks2, rows, wpad, rpb)
+    )
     valid = present_all
     bits = _unpack_bits(andw)[:, :num_colors]  # [N, C]
 
@@ -628,9 +776,11 @@ def query_readid_firsthit(
 
 def _readid_firsthit_core(
     blocks2, rows, seg_ids, kmer_pos, *, num_reads, start_sample,
-    num_colors, wpad, rpb=0,
+    num_colors, wpad, rpb=0, ap=None,
 ):
-    andw, present_all = _and_present(blocks2, rows, wpad, rpb)
+    andw, present_all = (
+        ap if ap is not None else _and_present(blocks2, rows, wpad, rpb)
+    )
     valid = present_all
     bits = _unpack_bits(andw)[:, :num_colors]
     BIG = jnp.int32(2**30)

@@ -142,7 +142,8 @@ def accession_kmers(
 def _hash_rows(keys: np.ndarray, num_hash: int, bloom_size: int) -> np.ndarray:
     from .. import native
 
-    if keys.shape[0] and native.available():
+    # the native hasher emits uint32 rows: valid through 2^32 bits
+    if keys.shape[0] and native.available() and bloom_size <= 2**32:
         return native.xxh3_rows(keys, num_hash, bloom_size)
     return bloom_rows_batch(keys, num_hash, bloom_size)
 
@@ -176,6 +177,8 @@ def build_index(
     accessions = sorted(ref_map.keys())
     C = len(accessions)
     W = (C + 31) // 32
+    if device and bloom_size >= 2**31:
+        device = False  # device scatter-OR is int32-indexed; host scatter
     rpb = 0
     bver = 0
     if blocked:

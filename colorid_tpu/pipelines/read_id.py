@@ -309,6 +309,8 @@ def _prepare_native(batch, todo_idx, index, d, packed_ok):
     k, m = index.k_size, index.m_size
     if k > 32 or (m and m > 32):
         return None
+    if index.bloom_size > 2**32:
+        return None  # native row hasher emits uint32 rows; numpy path
     seqs = []
     nseqs = np.empty(len(todo_idx), dtype=np.int32)
     for j, i in enumerate(todo_idx):
