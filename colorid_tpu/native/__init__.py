@@ -129,6 +129,11 @@ def _load():
         lib.ct_fnv_ranks_bytes.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.ct_pack_valid.restype = None
+        lib.ct_pack_valid.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.rs_open.restype = ctypes.c_void_p
         lib.rs_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32]
         lib.rs_close.argtypes = [ctypes.c_void_p]
@@ -144,6 +149,26 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def pack_valid(seqs_concat: np.ndarray, seq_offs: np.ndarray, pack_len: int):
+    """2-bit words [M, pack_len/16] + validity bitplane [M, pack_len/32]
+    for concatenated byte sequences (the C twin of
+    ops/extract.py::pack_reads_valid on a ragged batch). None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    seqs_concat = np.ascontiguousarray(seqs_concat, dtype=np.uint8)
+    seq_offs = np.ascontiguousarray(seq_offs, dtype=np.int64)
+    M = seq_offs.shape[0] - 1
+    words = np.zeros((M, pack_len // 16), dtype=np.uint32)
+    valid = np.zeros((M, pack_len // 32), dtype=np.uint32)
+    lib.ct_pack_valid(
+        seqs_concat.ctypes.data, seq_offs.ctypes.data, M, pack_len,
+        words.ctypes.data, valid.ctypes.data,
+    )
+    return words, valid
 
 
 def xxh3_rows(keys: np.ndarray, num_hash: int, bloom_size: int) -> np.ndarray:

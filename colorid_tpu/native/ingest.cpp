@@ -1015,3 +1015,29 @@ extern "C" int64_t ct_read_rank_windows(
     }
     return seq_idx;
 }
+
+extern "C" void ct_pack_valid(
+    const uint8_t* seqs, const int64_t* seq_offs, int64_t n_seqs,
+    int64_t pack_len, uint32_t* words_out, uint32_t* valid_out) {
+    // 2-bit packing + per-base validity plane for the order-free read_id
+    // pass (pipelines/read_id.py::_prepare_reads_orderfree): same layouts
+    // as ops/extract.py::pack_reads_valid — 16 bases/u32 word with the
+    // first base in the top bits (non-ACGT packs as A=0), little-endian
+    // validity bits 32/u32. Output buffers arrive zero-filled; bases past
+    // a sequence's length stay invalid/A.
+    int64_t wpm = pack_len / 16;
+    int64_t vpm = pack_len / 32;
+    for (int64_t s = 0; s < n_seqs; s++) {
+        const uint8_t* seq = seqs + seq_offs[s];
+        int64_t len = seq_offs[s + 1] - seq_offs[s];
+        if (len > pack_len) len = pack_len;
+        uint32_t* pw = words_out + s * wpm;
+        uint32_t* vw = valid_out + s * vpm;
+        for (int64_t i = 0; i < len; i++) {
+            uint8_t c = CODE[seq[i]];
+            if (c >= 4) continue;
+            pw[i >> 4] |= (uint32_t)c << (2 * (15 - (i & 15)));
+            vw[i >> 5] |= (uint32_t)1 << (i & 31);
+        }
+    }
+}

@@ -992,14 +992,9 @@ def query_readid_orderfree_reads(
     counted = u & present
     bits = _unpack_bits(andw)[:, :num_colors]
     cbits = bits * counted[:, None].astype(jnp.int32)
-    seg = jnp.broadcast_to(
-        jnp.arange(num_reads, dtype=jnp.int32)[:, None], (num_reads, WR)
-    ).reshape(-1)
-    report = (
-        jnp.zeros((num_reads, num_colors), dtype=jnp.int32)
-        .at[seg]
-        .add(cbits)
-    )
+    # windows are contiguous per read: a reshape-reduce replaces the
+    # (TPU-serializing) segment scatter-add
+    report = cbits.reshape(num_reads, WR, num_colors).sum(axis=1)
     absent = (u & ~present).reshape(num_reads, WR).any(axis=1)
     zerohit = (counted & (bits.sum(axis=1) == 0)).reshape(
         num_reads, WR

@@ -215,6 +215,14 @@ def _prepare_reads_orderfree(batch, todo_idx, k):
         return None
     Lb = max(64, -(-Lmax // 32) * 32)
     M = len(seqs)
+    from .. import native
+
+    if native.available():
+        offs = np.zeros(M + 1, dtype=np.int64)
+        offs[1:] = np.cumsum(lens)
+        got = native.pack_valid(np.concatenate(seqs), offs, Lb)
+        if got is not None:
+            return got[0], lens.astype(np.int32), got[1], nm, Lb
     rect = np.full((M, Lb), ord("A"), dtype=np.uint8)
     flat = np.repeat(np.arange(M, dtype=np.int64) * Lb, lens) + _ranges(lens)
     rect.reshape(-1)[flat] = np.concatenate(seqs)
@@ -505,22 +513,31 @@ def classify_batch(
     is_top = sig & (real == top_count[:, None])
     n_top = is_top.sum(axis=1)
 
+    # row assembly: categories and the single-top index vectorize; only the
+    # (rare) tied rows still touch numpy per read
     tie_js: list[int] = []
+    cat = np.where(
+        empty | only_no_hits, 0,
+        np.where(~any_sig, 1, np.where(n_top == 1, 2, 3)),
+    )
+    cat_l = cat.tolist()
+    ml_l = mlen.tolist()
+    tc_l = top_count.tolist()
+    ti_l = np.argmax(is_top, axis=1).tolist()
     for j, i in enumerate(todo_idx):
         rid = batch[i][0]
-        L = int(mlen[j])
-        if empty[j] or only_no_hits[j]:
-            out[i] = (rid, "no_hits", 0, L, "accept", 0)
-        elif not any_sig[j]:
-            out[i] = (rid, "no_significant_hits", 0, L, "reject", 0)
+        c = cat_l[j]
+        if c == 2:
+            out[i] = (rid, colors[ti_l[j]], tc_l[j], ml_l[j], "accept", 1)
+        elif c == 0:
+            out[i] = (rid, "no_hits", 0, ml_l[j], "accept", 0)
+        elif c == 1:
+            out[i] = (rid, "no_significant_hits", 0, ml_l[j], "reject", 0)
         else:
             tops = np.nonzero(is_top[j])[0]
-            if len(tops) == 1:
-                out[i] = (rid, colors[int(tops[0])], int(top_count[j]), L, "accept", 1)
-            else:
-                name = ",".join(colors[int(c)] for c in tops)
-                out[i] = (rid, name, int(top_count[j]), L, "reject", len(tops))
-                tie_js.append(j)
+            name = ",".join(colors[int(cc)] for cc in tops)
+            out[i] = (rid, name, tc_l[j], ml_l[j], "reject", len(tops))
+            tie_js.append(j)
     if tie_js and fnv:
         _fix_tie_order(
             batch, todo_idx, tie_js, engine, d, start_sample,
