@@ -54,6 +54,7 @@ def _build(args: argparse.Namespace) -> None:
         device=args.device_build,
         blocked=args.blocked,
         threads=max(args.threads, 1),
+        color_shards=args.color_shards,
     )
     print("Saving BIGSI to file.")
     ext = ".mxi" if args.minimizer else ".bxi"
@@ -201,6 +202,10 @@ def make_parser() -> argparse.ArgumentParser:
     b.add_argument("--blocked", action="store_true",
                    help="turbo layout: all hashes of a k-mer in one 512B block "
                         "(one HBM fetch per k-mer; not reference-bit-compatible)")
+    b.add_argument("--color-shards", type=int, default=0,
+                   help="with --blocked: size the placement to N color "
+                        "shards so wide indexes (> 1024 colors) keep the "
+                        "sorted-stream fast path on a (data, color) mesh")
     b.set_defaults(func=_build)
 
     s = sub.add_parser("search", help="bigsi search on fasta/fastq.gz files")

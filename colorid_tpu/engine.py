@@ -93,6 +93,16 @@ class QueryEngine:
                 "index or shard colors across devices"
             )
         self.rpb = (128 // self.wpad) if self.bv else 0
+        # shard-placed blocked indexes (build --color-shards): the
+        # placement row group follows a color SHARD's packed width, not
+        # this engine's full-width packing, so the single-device engine
+        # hashes with the recorded placement but gathers generically (the
+        # fast paths live on the ("data", "color") mesh,
+        # parallel/sharded.py::stream_batch_colorshard)
+        self.rpb_place = getattr(index, "place_rpb", 0) or self.rpb
+        self._custom_place = self.rpb_place != self.rpb
+        if self._custom_place:
+            self.rpb = 0
         q = max(self.wpad // 128, 1)
         # device addressing is per-block (int32): rows <= one block need only
         # the row index to fit; wide rows address bloom_size * q blocks.
@@ -184,12 +194,12 @@ class QueryEngine:
 
     def rows_for_keys(self, keys: np.ndarray) -> np.ndarray:
         """XXH3 row indices [N, H] for canonical k-mer byte rows [N, k]."""
-        if self.rpb:
+        if self.bv:
             from .ops.blocked import blocked_rows_host
 
             return blocked_rows_host(
-                keys, self.index.num_hash, self.index.bloom_size, self.rpb,
-                version=self.bv,
+                keys, self.index.num_hash, self.index.bloom_size,
+                self.rpb_place, version=self.bv,
             ).astype(np.int32)
         dt = np.int64 if self._wide else np.int32
         # the native row hasher emits uint32 rows: valid through 2^32;
@@ -241,6 +251,7 @@ class QueryEngine:
             return SearchResult(counts, True, and_all, empty_hist, none, none)
         if packed_all is not None and not (
             k and 4 <= k <= 32 and self.index.bloom_size < 2**31
+            and not self._custom_place
         ):
             # device hash envelope exceeded: fall back to host hashing
             packed_all = None
@@ -253,7 +264,10 @@ class QueryEngine:
                 )
         if packed_all is None and rows_all is None:
             k = keys.shape[1]
-            if 4 <= k <= 32 and self.index.bloom_size < 2**31:
+            if (
+                4 <= k <= 32 and self.index.bloom_size < 2**31
+                and not self._custom_place
+            ):
                 packed_all = pack_keys_host(keys)
             if packed_all is None:
                 rows_all = self.rows_for_keys(keys)
@@ -670,6 +684,11 @@ class QueryEngine:
         """
         if not (4 <= k <= 32 and self.index.bloom_size < 2**31):
             raise ValueError("search_reads requires the device-hash envelope")
+        if self._custom_place:
+            raise ValueError(
+                "search_reads device hashing does not cover shard-placed "
+                "indexes on one device; use the sharded engine or search_keys"
+            )
         n_windows = reads_packed.shape[0] * (L - k + 1)
         if n_windows >= 2**31:
             raise ValueError(
@@ -678,10 +697,22 @@ class QueryEngine:
                 "under 2^31)"
             )
         if self._stream and self.bv in (3, 4):  # value-addressed (monotone)
-            out = self._search_reads_fused(
-                reads_packed, lens, valid_bits, k=k, L=L, filter_t=filter_t,
-                d=d,
+            max_w = int(
+                os.environ.get("COLORID_FUSED_MAX_WINDOWS", 28_000_000)
             )
+            if n_windows > max_w:
+                # huge single fused dispatches can wedge the device link;
+                # chunked pipeline: per-chunk extract+sort+compact, one
+                # global merge+filter+stream (ops/fused_reads.py)
+                out = self._search_reads_fused_chunked(
+                    reads_packed, lens, valid_bits, k=k, L=L,
+                    filter_t=filter_t, d=d, max_windows=max_w,
+                )
+            else:
+                out = self._search_reads_fused(
+                    reads_packed, lens, valid_bits, k=k, L=L,
+                    filter_t=filter_t, d=d,
+                )
             if out is not None:
                 return out
         from .ops.extract import extract_count
@@ -801,8 +832,92 @@ class QueryEngine:
             bloom_size=self.index.bloom_size, rpb=self.rpb, n_colors=C,
             bv=self.bv,
         )
+        return self._fused_finish(stats, hist, oc_buf, of_buf, n_drop, n_u,
+                                  capO)
+
+    def _search_reads_fused_chunked(
+        self, reads_packed, lens, valid_bits=None, *, k, L, filter_t, d,
+        max_windows,
+    ) -> tuple[SearchResult, int] | None:
+        """Chunked fused pipeline (ops/fused_reads.py dispatch A/A2/B): no
+        single dispatch spans more than ~max_windows k-mer windows (huge
+        fused programs wedge the device link). Per-chunk extract+sort
+        pipelines, then compaction sized from the measured per-chunk unique
+        counts, then one merge+global-filter+stream dispatch."""
+        from .ops.fused_reads import (
+            compact_sorted,
+            extract_sorted_counts,
+            fused_merge_query,
+        )
+        from .ops.stream_query import OVER_CAP, RES_CAP
+
+        NW = L - k + 1
+        R = reads_packed.shape[0]
+        Rc = max(max_windows // NW, 1)
+        S = -(-R // Rc)
+        Rc = -(-R // S)  # balanced chunks sharing one jit shape
+        reads_j = jnp.asarray(reads_packed)
+        lens_j = (
+            lens if isinstance(lens, jax.Array)
+            else jnp.asarray(np.asarray(lens, dtype=np.int32))
+        )
+        vb_j = None if valid_bits is None else jnp.asarray(valid_bits)
+        padR = S * Rc - R
+        if padR:
+            reads_j = jnp.concatenate(
+                [reads_j, jnp.zeros((padR, reads_j.shape[1]), jnp.uint32)]
+            )
+            lens_j = jnp.concatenate([lens_j, jnp.zeros(padR, jnp.int32)])
+            if vb_j is not None:
+                vb_j = jnp.concatenate(
+                    [vb_j, jnp.zeros((padR, vb_j.shape[1]), jnp.uint32)]
+                )
+        outs = [
+            extract_sorted_counts(
+                reads_j[s * Rc : (s + 1) * Rc],
+                lens_j[s * Rc : (s + 1) * Rc],
+                None if vb_j is None else vb_j[s * Rc : (s + 1) * Rc],
+                k=k, L=L, d=d,
+            )
+            for s in range(S)
+        ]
+        n_max = max(int(np.asarray(o[3])) for o in outs)
+        # power-of-two cap bounds the jit-shape count; never below 2^20 so
+        # typical read chunks reuse one compiled compaction
+        cap = min(1 << max(20, max(n_max, 1).bit_length()), Rc * NW)
+        comps = [compact_sorted(o[0], o[1], o[2], cap=cap) for o in outs]
+        C = self.index.n_colors
+        stats = jnp.concatenate(
+            [
+                jnp.zeros(C, dtype=jnp.int32),
+                jnp.full(self.wpad, -1, dtype=jnp.int32),
+                jnp.array([1, 0], dtype=jnp.int32),
+            ]
+        )
+        hist = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
+        capO = OVER_CAP + RES_CAP
+        oc_buf = jnp.zeros(capO, dtype=jnp.int32)
+        of_buf = jnp.zeros(capO, dtype=jnp.int32)
+        stats, hist, oc_buf, of_buf, n_drop, n_u = fused_merge_query(
+            stats, hist, oc_buf, of_buf,
+            self.blocks2, self._blocks_bp,
+            jnp.stack([c[0] for c in comps]),
+            jnp.stack([c[1] for c in comps]),
+            jnp.stack([c[2] for c in comps]),
+            k=k, filter_t=filter_t,
+            wpad=self.wpad, num_hash=self.index.num_hash,
+            bloom_size=self.index.bloom_size, rpb=self.rpb, n_colors=C,
+            bv=self.bv,
+        )
+        return self._fused_finish(stats, hist, oc_buf, of_buf, n_drop, n_u,
+                                  capO)
+
+    def _fused_finish(
+        self, stats, hist, oc_buf, of_buf, n_drop, n_u, capO
+    ) -> tuple[SearchResult, int] | None:
         # ONE D2H round trip for everything but the (rare) overflow list:
         # the tunnel RTT is 100-500ms, so per-array fetches would dominate
+        C = self.index.n_colors
         W = self.index.words_per_row
         host = np.asarray(
             jnp.concatenate(

@@ -46,6 +46,12 @@ class BigsiIndex:
     # canonical-density-corrected block map (uniform block loads, the
     # build default). Not bit-compatible with the reference's hash
     # placement — see ops/blocked.py.
+    place_rpb: int = 0  # explicit blocked-placement rows-per-block; 0 =
+    # derived from the full row width. Set by `build --color-shards N`:
+    # the placement then matches each color shard's local geometry so the
+    # sorted-stream kernel runs per shard on a ("data", "color") mesh
+    # (parallel/sharded.py::stream_batch_colorshard) for indexes wider
+    # than the single-device stream limit (> 1024 colors).
 
     @property
     def n_colors(self) -> int:
@@ -72,6 +78,7 @@ class BigsiIndex:
             "n_ref_kmers": self.n_ref_kmers,
             "words_per_row": int(self.matrix.shape[1]),
             "blocked": int(self.blocked),
+            "place_rpb": int(self.place_rpb),
         }
         hjson = json.dumps(header).encode("utf-8")
         with open(path, "wb") as f:
@@ -109,6 +116,7 @@ class BigsiIndex:
             n_ref_kmers={k: int(v) for k, v in header["n_ref_kmers"].items()},
             matrix=matrix,
             blocked=int(header.get("blocked", 0)),
+            place_rpb=int(header.get("place_rpb", 0)),
         )
 
 

@@ -133,10 +133,18 @@ def _n_color_groups(wpad: int) -> int:
 
 def _stream_kernel(
     tb_ref, blk_ref, off_ref, qc_ref, *refs,
-    num_hash, wpad, n_colors, cp, hw, planes, n_chunks, nt,
+    num_hash, wpad, n_colors, cp, hw, planes, n_chunks, nt, raw=False,
 ):
     tiles = refs[:nt]
-    uniq_ref, counts_ref, hist_ref, counts_scratch = refs[nt:]
+    if raw:
+        # raw mode (color-sharded stream): per-probe facts come OUT instead
+        # of being folded into uniq/hist locally — a color shard cannot
+        # decide global uniqueness/presence alone, so the shard_map body
+        # psums nhits and per-hash presence across the color axis first
+        # (parallel/sharded.py::stream_batch_colorshard)
+        nh_ref, cs_ref, pm_ref, counts_ref, counts_scratch = refs[nt:]
+    else:
+        uniq_ref, counts_ref, hist_ref, counts_scratch = refs[nt:]
     H, W = num_hash, wpad
     HW = H * W
     CW = 32 * W
@@ -145,7 +153,8 @@ def _stream_kernel(
     @pl.when(j == 0)
     def _init():
         counts_scratch[:] = jnp.zeros_like(counts_scratch)
-        hist_ref[:] = jnp.zeros_like(hist_ref)
+        if not raw:
+            hist_ref[:] = jnp.zeros_like(hist_ref)
 
     # --- block gather: int8 one-hot row-select over nt byte-plane tiles
     # (only the live byte planes participate: index bits >= n_colors are
@@ -191,6 +200,7 @@ def _stream_kernel(
     # --- presence: every hash row nonzero ---------------------------------
     # Needed only for the uniq_ref -1/-2 encoding (n_valid): a probe with an
     # absent hash row ANDs to all-zero words, so vbits/nhits self-mask.
+    hashmask = None
     if W == 1:
         # one tiny MXU dot replaces the lane-gather AND tree: count the
         # nonzero hash words (lanes < H) and compare against H
@@ -201,18 +211,30 @@ def _stream_kernel(
             nz8, presm, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)[:, 0]
         vrow = (pres == H).astype(jnp.int32) * realm_i
+        if raw:
+            hashmask = jnp.zeros((PC,), dtype=jnp.int32)
+            for h in range(H):
+                hashmask = hashmask + (
+                    (words[:, h] != 0).astype(jnp.int32) << h
+                )
     else:
         nz = (words != 0).astype(jnp.int32)
         step = W // 2
         while step >= 1:  # lane h*W = OR over the hash\'s W words
             nz = nz | _lg(nz, jnp.minimum(li + step, 127))
             step //= 2
+        if raw:
+            hashmask = jnp.zeros((PC,), dtype=jnp.int32)
+            for h in range(H):
+                hashmask = hashmask + (nz[:, h * W] << h)
         ph = _lg(nz, jnp.minimum(li * W, 127))
         step = H // 2
         while step >= 1:
             ph = ph & _lg(ph, jnp.minimum(li + step, 127))
             step //= 2
         vrow = ph[:, 0] * realm_i  # [PC] 0/1
+    if raw:
+        hashmask = hashmask * realm_i  # out-of-window/padding: no presence
 
     # --- AND across hashes + per-color epilogue ----------------------------
     # nhits/colorsum reduce via one int8 MXU contraction per color group
@@ -271,23 +293,28 @@ def _stream_kernel(
                 preferred_element_type=jnp.int32)
             nhits = nhits + red[:, 0]
             colorsum = colorsum + red[:, 1] + 128 * cg * red[:, 0]
-    uniq = (vrow == 1) & (nhits == 1)
-    # -1: valid but not a unique hit; -2: invalid/padded (lets the caller
-    # count n_valid without a second kernel output)
-    uniq_ref[:] = jnp.where(uniq, colorsum, jnp.where(vrow == 1, -1, -2))
+    if raw:
+        nh_ref[:] = nhits
+        cs_ref[:] = colorsum
+        pm_ref[:] = hashmask
+    else:
+        uniq = (vrow == 1) & (nhits == 1)
+        # -1: valid but not a unique hit; -2: invalid/padded (lets the
+        # caller count n_valid without a second kernel output)
+        uniq_ref[:] = jnp.where(uniq, colorsum, jnp.where(vrow == 1, -1, -2))
 
-    # --- uniq-hit frequency histogram: int8 one-hot MXU contraction -------
-    qclip = jnp.clip(qc, 0, hw - 1)
-    small = uniq & (qc < hw)
-    hist_col = jnp.where(small, colorsum, n_colors)[:, None]
-    oc = (hist_col == jax.lax.broadcasted_iota(jnp.int32, (PC, cp), 1)
-          ).astype(jnp.int8)
-    ov = (qclip[:, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (PC, hw), 1)).astype(jnp.int8)
-    delta = jax.lax.dot_general(
-        oc, ov, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )  # [cp, hw]
-    hist_ref[:] = hist_ref[:] + delta
+        # --- uniq-hit frequency histogram: int8 one-hot MXU contraction ---
+        qclip = jnp.clip(qc, 0, hw - 1)
+        small = uniq & (qc < hw)
+        hist_col = jnp.where(small, colorsum, n_colors)[:, None]
+        oc = (hist_col == jax.lax.broadcasted_iota(jnp.int32, (PC, cp), 1)
+              ).astype(jnp.int8)
+        ov = (qclip[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (PC, hw), 1)).astype(jnp.int8)
+        delta = jax.lax.dot_general(
+            oc, ov, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )  # [cp, hw]
+        hist_ref[:] = hist_ref[:] + delta
 
     @pl.when(j == n_chunks - 1)
     def _final():
@@ -345,6 +372,152 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
         ),
         interpret=_interpret(),
     )(tb, blk_s, off_s, qc_s, *([blocks_bp] * nt))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_hash", "wpad", "n_colors"),
+)
+def _stream_call_raw(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
+                     n_colors):
+    """_stream_call in raw mode: per-probe (nhits, colorsum, hash-presence
+    bitmask) outputs + the local per-color counts — the color-sharded
+    stream's local pass (global uniqueness/presence merge across shards in
+    the shard_map body)."""
+    P = blk_s.shape[0]
+    n_chunks = P // PC
+    CGP = 128 * _n_color_groups(wpad)
+    nt = _nt_win(wpad)
+    tile_spec = lambda t: pl.BlockSpec((T, 512), lambda j, tb, t=t: (tb[j] + t, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((PC,), lambda j, tb: (j,)),
+            pl.BlockSpec((PC,), lambda j, tb: (j,)),
+            pl.BlockSpec((PC,), lambda j, tb: (j,)),
+        ] + [tile_spec(t) for t in range(nt)],
+        out_specs=(
+            pl.BlockSpec((PC,), lambda j, tb: (j,)),
+            pl.BlockSpec((PC,), lambda j, tb: (j,)),
+            pl.BlockSpec((PC,), lambda j, tb: (j,)),
+            pl.BlockSpec((8, CGP), lambda j, tb: (0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, CGP), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        partial(
+            _stream_kernel,
+            num_hash=num_hash,
+            wpad=wpad,
+            n_colors=n_colors,
+            cp=0,
+            hw=0,
+            planes=_n_planes(wpad, n_colors),
+            n_chunks=n_chunks,
+            nt=nt,
+            raw=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((P,), jnp.int32),  # nhits
+            jax.ShapeDtypeStruct((P,), jnp.int32),  # colorsum
+            jax.ShapeDtypeStruct((P,), jnp.int32),  # hash-presence bitmask
+            jax.ShapeDtypeStruct((8, CGP), jnp.int32),  # counts in row 0
+        ),
+        interpret=_interpret(),
+    )(tb, blk_s, off_s, qc_s, *([blocks_bp] * nt))
+
+
+def stream_raw_local(
+    blocks2, blocks_bp, blk_s, off_s, qc_s, *, wpad, num_hash, rpb, n_colors
+):
+    """Local raw stream pass over sorted probes for ONE matrix shard:
+    returns (counts [CGP], nhits [P], colorsum [P], presmask [P], n_drop).
+    The chunk-granular residual pass patches the per-probe facts of
+    out-of-window probes through the generic block gather, exactly like
+    _stream_core's residual (traceable; used inside shard_map bodies)."""
+    from .query import _gather_rows_blocked, _unpack_bits
+
+    P = blk_s.shape[0]
+    nt = _nt_win(wpad)
+    nch = _nch(wpad)
+    n_tiles = blocks2.shape[0] // T
+    n_chunks = P // PC
+    firsts = blk_s.reshape(n_chunks, PC)[:, 0]
+    tb = jnp.clip(firsts // T, 0, n_tiles - nt).astype(jnp.int32)
+    inwin2d = blk_s.reshape(n_chunks, PC) - tb[:, None] * T < nt * T
+    qcw = jnp.where(inwin2d.reshape(-1), qc_s, 0)
+    nhits, colorsum, presmask, counts_out = _stream_call_raw(
+        blocks_bp, blk_s, off_s, qcw, tb,
+        num_hash=num_hash, wpad=wpad, n_colors=n_colors,
+    )
+    counts = counts_out[0]
+
+    res2d = (~inwin2d) & (qc_s.reshape(n_chunks, PC) > 0)
+    chunk_res = res2d.sum(axis=1, dtype=jnp.int32)
+    n_res = chunk_res.sum()
+    has_res = chunk_res > 0
+    covered = has_res & (jnp.cumsum(has_res.astype(jnp.int32)) <= nch)
+    n_drop = jnp.sum(chunk_res * (has_res & ~covered).astype(jnp.int32))
+
+    def _patch(args):
+        cnts, nh, cs, pm = args
+        cidx = jnp.nonzero(has_res, size=nch, fill_value=n_chunks)[0]
+        cvalid = cidx < n_chunks
+        csafe = jnp.minimum(cidx, n_chunks - 1)
+        rblk = blk_s.reshape(n_chunks, PC)[csafe].reshape(-1)
+        roff = off_s.reshape(n_chunks, PC)[csafe].reshape(-1)
+        live = (res2d[csafe] & cvalid[:, None]).reshape(-1)
+        rows = jnp.stack(
+            [
+                rblk * np.int32(rpb)
+                + ((roff >> jnp.uint32(8 * h)) & jnp.uint32(0xFF)).astype(
+                    jnp.int32
+                )
+                for h in range(num_hash)
+            ],
+            axis=1,
+        )
+        g = _gather_rows_blocked(blocks2, rows, wpad, rpb)  # [n, H, wpad]
+        andw = g[:, 0, :]
+        for h in range(1, num_hash):
+            andw = andw & g[:, h, :]
+        bits = _unpack_bits(andw)[:, :n_colors]
+        lm = live.astype(jnp.int32)
+        vb = bits * lm[:, None]
+        nh_r = vb.sum(axis=1)
+        cs_r = (vb * jnp.arange(n_colors, dtype=jnp.int32)[None, :]).sum(
+            axis=1
+        )
+        pm_r = jnp.zeros_like(nh_r)
+        for h in range(num_hash):
+            pm_r = pm_r + (
+                (g[:, h, :] != 0).any(axis=1).astype(jnp.int32) << h
+            )
+        pm_r = pm_r * lm
+        cnts = cnts.at[: n_colors].add(vb.sum(axis=0))
+        sh = (n_chunks, PC)
+        sel = res2d[csafe]
+
+        def mrow(full, part):
+            f2 = full.reshape(sh)
+            p2 = jnp.where(sel, part.reshape(nch, PC), f2[csafe])
+            return f2.at[cidx].set(p2, mode="drop").reshape(-1)
+
+        return (
+            cnts,
+            mrow(nh, nh_r),
+            mrow(cs, cs_r),
+            mrow(pm, pm_r),
+        )
+
+    counts, nhits, colorsum, presmask = jax.lax.cond(
+        n_res > 0, _patch, lambda a: a, (counts, nhits, colorsum, presmask)
+    )
+    return counts, nhits, colorsum, presmask, n_drop
 
 
 @partial(

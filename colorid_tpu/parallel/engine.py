@@ -62,6 +62,17 @@ class ShardedQueryEngine:
             # with ONE block fetch from its color slice
             if index.blocked and self.wpad <= 128:
                 self.rpb = 128 // self.wpad
+            # shard-placed (build --color-shards) value-addressed index
+            # whose placement group matches THIS mesh's shard width: the
+            # sorted-stream kernel runs per color shard
+            # (sharded.py::stream_batch_colorshard)
+            if (
+                index.blocked in (3, 4)
+                and index.num_hash in (1, 2, 4)
+                and self.wpad <= 32
+                and getattr(index, "place_rpb", 0) == self.rpb
+            ):
+                self._planes = sharded.byte_planes_3d(self.mat)
         else:
             wpad_g = row_wpad(matrix.shape[1])
             stream_ok = (
@@ -95,7 +106,7 @@ class ShardedQueryEngine:
             from ..ops.blocked import blocked_rows_host, rows_per_block
 
             wpad = 1 << (max(self.index.words_per_row, 1) - 1).bit_length()
-            rpb = rows_per_block(wpad)
+            rpb = getattr(self.index, "place_rpb", 0) or rows_per_block(wpad)
             return blocked_rows_host(
                 keys, self.index.num_hash, self.index.bloom_size, rpb,
                 version=int(self.index.blocked),
@@ -209,6 +220,8 @@ class ShardedQueryEngine:
         blk_s = blk[order].astype(np.int32)
         offp_s = offp[order]
         qc_s = qc[order]
+        if self.layout == "color":
+            return self._stream_colorshard_finish(blk_s, offp_s, qc_s, H, rpb)
         nd = self.mesh.shape["data"]
         nr = self.mesh.shape["row"]
         nbl = self.Rl // rpb  # blocks owned per row shard
@@ -262,6 +275,70 @@ class ShardedQueryEngine:
             bool(np.asarray(ok) > 0),
             np.asarray(aw)[:W],
             np.asarray(hist)[:, :_FC].astype(np.int64),
+            np.concatenate(over_c).astype(np.int32) if over_c else none,
+            np.concatenate(over_f).astype(np.int32) if over_f else none,
+        )
+
+    def _stream_colorshard_finish(self, blk_s, offp_s, qc_s, H, rpb):
+        """Color-sharded stream dispatch + host assembly: per-shard counts /
+        and-words / histograms concatenate at each shard's color base; the
+        overflow lists carry shard-local colors the host re-bases."""
+        import jax.numpy as jnp
+
+        from ..ops.query import FREQ_CAP as _FC
+        from ..ops.stream_query import OVER_CAP, PC
+
+        index = self.index
+        C = index.n_colors
+        W = index.words_per_row
+        nd = self.mesh.shape["data"]
+        S = self.mesh.shape["color"]
+        n = blk_s.shape[0]
+        n_blocks = index.bloom_size // rpb
+        P2 = _round_up(max(n, 1), nd * PC)
+        blk_p = np.full(P2, n_blocks - 1, dtype=np.int32)
+        blk_p[:n] = blk_s
+        off_p = np.zeros(P2, dtype=np.uint32)
+        off_p[:n] = offp_s
+        qc_p = np.zeros(P2, dtype=np.int32)
+        qc_p[:n] = qc_s
+        Cl = 32 * self.wpad  # shard color-bit capacity (kernel layout)
+        cp = -(-(Cl + 1) // 128) * 128
+        counts32, and_b, ok, hist, ndrop, n_over, oc, of = (
+            sharded.stream_batch_colorshard(
+                self.mat, self._planes, jnp.asarray(blk_p),
+                jnp.asarray(off_p), jnp.asarray(qc_p),
+                mesh=self.mesh, wpad=self.wpad, num_hash=H, rpb=rpb,
+                Cl=Cl, cp=cp, cap=OVER_CAP,
+            )
+        )
+        if int(np.asarray(ndrop)) > 0:
+            return None
+        Wl32 = 32 * self.Wl  # live colors per shard
+        counts = (
+            np.asarray(counts32).reshape(S, -1)[:, :Wl32].reshape(-1)[:C]
+        )
+        aw = np.asarray(and_b).reshape(S, -1)[:, : self.Wl].reshape(-1)[:W]
+        hist_np = (
+            np.asarray(hist).reshape(S, cp, _FC)[:, :Wl32].reshape(-1, _FC)[:C]
+        )
+        no = np.asarray(n_over)
+        ocn = np.asarray(oc)
+        ofn = np.asarray(of)
+        over_c: list[np.ndarray] = []
+        over_f: list[np.ndarray] = []
+        for d in range(nd):
+            for s in range(S):
+                m = int(no[d, s])
+                if m:
+                    over_c.append(ocn[d, s, :m] + s * Wl32)
+                    over_f.append(ofn[d, s, :m])
+        none = np.zeros(0, dtype=np.int32)
+        return SearchResult(
+            counts.astype(np.int64),
+            bool(np.asarray(ok) > 0),
+            aw,
+            hist_np.astype(np.int64),
             np.concatenate(over_c).astype(np.int32) if over_c else none,
             np.concatenate(over_f).astype(np.int32) if over_f else none,
         )

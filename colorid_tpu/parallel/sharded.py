@@ -318,6 +318,143 @@ def stream_batch_rowshard(
     return f(mat, planes, blk, offp, qc)
 
 
+# ---------------------------------------------------------------------------
+# color-sharded sorted-stream query (shard-placed v3/v4 indexes,
+# `build --color-shards N`)
+# ---------------------------------------------------------------------------
+#
+# A > 1024-color index exceeds the single-device stream kernel's width, but
+# each shard of a ("data", "color") mesh holds a <= 1024-color slice of
+# every row. With the blocked placement sized to the SHARD's packed width
+# (index.place_rpb == 128 // shard wpad), every shard can run the stream
+# kernel locally in RAW mode (per-probe nhits/colorsum/hash-presence out,
+# counts in-kernel). The global epilogue needs two cross-shard facts per
+# probe — total hit count (uniqueness spans all colors) and per-hash row
+# presence (a row is absent only if ALL shards see zeros) — merged with one
+# psum each over the color axis; the uniq-hit frequency histogram then
+# accumulates per OWNING shard with a chunked one-hot MXU contraction.
+
+
+def _stream_colorshard_body(
+    wpad, num_hash, rpb, Cl, cp, cap, mat, planes, blk, offp, qc
+):
+    from ..ops.query import FREQ_CAP
+    from ..ops.stream_query import stream_raw_local
+
+    counts_l, nh_l, cs_l, pm_l, ndrop = stream_raw_local(
+        mat[0], planes[0], blk, offp, qc,
+        wpad=wpad, num_hash=num_hash, rpb=rpb, n_colors=Cl,
+    )
+    P = blk.shape[0]
+    nh_g = jax.lax.psum(nh_l, "color")
+    ph = jnp.stack(
+        [(pm_l >> h) & 1 for h in range(num_hash)], axis=1
+    )  # [P, H]
+    present = (jax.lax.psum(ph, "color") > 0).all(axis=1)
+    realm = qc > 0
+    validp = present & realm
+    n_valid = jax.lax.psum(validp.sum(dtype=jnp.int32), "data")
+    uniq = validp & (nh_g == 1)
+    owner = uniq & (nh_l == 1)
+
+    CW = 32 * wpad
+    counts32 = jax.lax.psum(counts_l[:CW], "data")
+    eq = (counts32 == n_valid).astype(jnp.uint32)
+    pow2 = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, :]
+    and_b = jnp.sum(eq.reshape(wpad, 32) * pow2, axis=1, dtype=jnp.uint32)
+    bad = jax.lax.psum(
+        (realm & ~present).sum(dtype=jnp.int32), "data"
+    )
+    ok = (bad == 0).astype(jnp.int32)
+
+    # uniq-hit frequency histogram, chunked one-hot MXU over owned probes
+    hw = FREQ_CAP
+    HC = 8192
+    while P % HC:  # P is a multiple of the stream chunk (2048)
+        HC //= 2
+    n_h = P // HC
+    sel = owner & (qc < hw)
+    col_c = jnp.where(sel, cs_l, Cl).reshape(n_h, HC)
+    q_c = jnp.clip(qc, 0, hw - 1).reshape(n_h, HC)
+
+    def hstep(acc, xs):
+        cc, qq = xs
+        oc = (cc[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (HC, cp), 1)).astype(jnp.int8)
+        ov = (qq[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (HC, hw), 1)).astype(jnp.int8)
+        return acc + jax.lax.dot_general(
+            oc, ov, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ), 0
+
+    hist, _ = jax.lax.scan(
+        hstep, jnp.zeros((cp, hw), dtype=jnp.int32), (col_c, q_c)
+    )
+
+    big = owner & (qc >= hw)
+    n_big = big.sum(dtype=jnp.int32)
+    bidx = jnp.nonzero(big, size=cap, fill_value=P)[0]
+    safe = jnp.minimum(bidx, P - 1)
+    live = bidx < P
+    oc_l = jnp.where(live, cs_l[safe], 0)
+    of_l = jnp.where(live, qc[safe], 0)
+    n_over = jnp.minimum(n_big, cap)
+    ndrop = ndrop + jnp.maximum(n_big - cap, 0)
+    ndrop_g = jax.lax.psum(ndrop, ("data", "color"))
+    return (
+        counts32,
+        and_b,
+        ok,
+        hist,
+        ndrop_g,
+        n_over[None, None],
+        oc_l[None, None],
+        of_l[None, None],
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "wpad", "num_hash", "rpb", "Cl", "cp", "cap"),
+)
+def stream_batch_colorshard(
+    mat, planes, blk, offp, qc, *, mesh, wpad, num_hash, rpb, Cl, cp, cap
+):
+    """Sorted-stream query over a ("data", "color") mesh for shard-placed
+    indexes. blk/offp/qc are [P] global sorted probes (qc == 0 marks
+    padding; P a multiple of n_data * PC); every color shard sees the same
+    probe slice. Returns per-shard counts [S, 32*wpad], and-words
+    [S, wpad], ok scalar, hist [S, cp, FREQ_CAP], n_dropped scalar, and
+    per-device overflow lists (local color ids — the host adds the shard
+    base)."""
+    f = jax.shard_map(
+        partial(
+            _stream_colorshard_body, wpad, num_hash, rpb, Cl, cp, cap
+        ),
+        mesh=mesh,
+        in_specs=(
+            P("color", None, None),
+            P("color", None, None),
+            P("data"),
+            P("data"),
+            P("data"),
+        ),
+        out_specs=(
+            P("color"),
+            P("color"),
+            P(),
+            P("color", None),
+            P(),
+            P("data", "color"),
+            P("data", "color", None),
+            P("data", "color", None),
+        ),
+        check_vma=False,
+    )
+    return f(mat, planes, blk, offp, qc)
+
+
 @jax.jit
 def byte_planes_3d(mat: jnp.ndarray) -> jnp.ndarray:
     """[S, Rb, 128] uint32 -> int8 [S, Rb, 512] offset byte planes (the

@@ -161,6 +161,7 @@ def build_index(
     checkpoint_dir: str | None = None,
     blocked: bool = False,
     threads: int = 1,
+    color_shards: int = 0,
 ) -> BigsiIndex:
     """Build the dense bit-slice index (build.rs:132-256 semantics).
 
@@ -181,6 +182,7 @@ def build_index(
         device = False  # device scatter-OR is int32-indexed; host scatter
     rpb = 0
     bver = 0
+    place_rpb = 0
     if blocked:
         from ..ops.blocked import (
             pad_bloom_size,
@@ -188,8 +190,18 @@ def build_index(
             v2_supported,
             v3_supported,
         )
+        from ..ops.query import row_wpad
 
-        wpad = 1 << (max(W, 1) - 1).bit_length()
+        if color_shards > 1:
+            # shard-local placement: the blocked row group sizes to ONE
+            # color shard's packed width, so each shard of a
+            # ("data", "color") mesh keeps a k-mer's rows in one of ITS
+            # 512-byte blocks and the sorted-stream kernel runs per shard
+            # (indexes wider than the 1024-color single-device stream cap)
+            wpad = row_wpad(-(-W // color_shards))
+            place_rpb = rows_per_block(wpad)
+        else:
+            wpad = 1 << (max(W, 1) - 1).bit_length()
         rpb = rows_per_block(wpad)
         bloom_size = pad_bloom_size(bloom_size)
         # value-addressed split-lane (v4: density-corrected block map)
@@ -315,4 +327,5 @@ def build_index(
         n_ref_kmers=n_ref_kmers,
         matrix=matrix,
         blocked=bver,
+        place_rpb=place_rpb,
     )

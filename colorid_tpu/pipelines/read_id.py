@@ -380,7 +380,9 @@ def classify_batch(
         todo_idx.append(i)
     if not todo_idx:
         return out
-    packed_ok = index.bloom_size < 2**31
+    packed_ok = index.bloom_size < 2**31 and not getattr(
+        index, "place_rpb", 0
+    )  # shard-placed indexes: device hashing lives on the sharded engine
     # reads containing lowercase bases need the exact byte-order path;
     # everything else flows through the C++ fast path
     clean_idx, dirty_idx = _split_lowercase(batch, todo_idx)

@@ -205,3 +205,66 @@ def test_v3_search_keys_stream_matches_generic(v3_engine):
         v3_engine._stream = True
     assert (res_s.counts == res_g.counts).all()
     assert res_s.freq_stats() == res_g.freq_stats()
+
+
+@pytest.mark.parametrize("ft", [0, 1])
+def test_fused_chunked_matches_generic(v3_engine, monkeypatch, ft):
+    """The chunked fused pipeline (per-chunk extract+compact, one global
+    merge+filter+stream — the anti-wedge path for huge read sets) must be
+    exact, including k-mers whose occurrences straddle chunk boundaries
+    (the global strictly-greater filter cannot be applied per chunk)."""
+    packed, lens = _genome_reads(R=6000, L=120, seed=21)
+    # force chunking: 6000 reads x 94 windows -> ~564k windows; cap at 150k
+    monkeypatch.setenv("COLORID_FUSED_MAX_WINDOWS", "150000")
+    res_f, n_f = v3_engine.search_reads(packed, lens, k=27, L=120,
+                                        filter_t=ft)
+    monkeypatch.delenv("COLORID_FUSED_MAX_WINDOWS")
+    v3_engine._stream = False
+    try:
+        res_g, n_g = v3_engine.search_reads(
+            packed, lens, k=27, L=120, filter_t=ft
+        )
+    finally:
+        v3_engine._stream = True
+    assert n_f == n_g
+    assert n_f > 0
+    assert (res_f.counts == res_g.counts).all()
+    assert res_f.all_valid == res_g.all_valid
+    assert (res_f.and_all == res_g.and_all).all()
+    assert res_f.freq_stats() == res_g.freq_stats()
+
+
+def test_fused_chunked_cross_chunk_filter(v3_engine, monkeypatch):
+    """A k-mer appearing ONCE in each of two chunks must survive
+    filter_t=1 (global count 2 > 1) even though each per-chunk count is 1 —
+    the failure mode of naive per-chunk filtering."""
+    from colorid_tpu.core.fastx import read_fasta
+    from colorid_tpu.ops.extract import pack_reads
+
+    paths = [p[0] for p in _phage_refs().values()]
+    g = "".join(read_fasta(paths[0])).upper()
+    L = 120
+    uniqread = g[5000 : 5000 + L]  # same window set in both chunks
+    rng = np.random.default_rng(31)
+    reads = []
+    for i in range(4000):
+        if i == 10 or i == 3500:  # one copy in each chunk
+            reads.append(uniqread)
+        else:
+            s = int(rng.integers(10_000, len(g) - L))
+            reads.append(g[s : s + L])
+    arr = np.frombuffer("".join(reads).encode(), np.uint8).reshape(-1, L)
+    packed = pack_reads(arr)
+    lens = np.full(arr.shape[0], L, dtype=np.int32)
+    monkeypatch.setenv("COLORID_FUSED_MAX_WINDOWS", "200000")
+    res_f, n_f = v3_engine.search_reads(packed, lens, k=27, L=L, filter_t=1)
+    monkeypatch.delenv("COLORID_FUSED_MAX_WINDOWS")
+    v3_engine._stream = False
+    try:
+        res_g, n_g = v3_engine.search_reads(packed, lens, k=27, L=L,
+                                            filter_t=1)
+    finally:
+        v3_engine._stream = True
+    assert n_f == n_g and n_f > 0
+    assert (res_f.counts == res_g.counts).all()
+    assert res_f.freq_stats() == res_g.freq_stats()
