@@ -631,8 +631,10 @@ def phase_classic(keys, qcounts, packed) -> None:
     record("classic", value)
 
     # classic sorted-row-stream kernel: must agree with the generic gather
-    # bit-for-bit on the same dispatch before its (faster) number counts
-    if engine._use_stream_classic(n, K):
+    # bit-for-bit on the same dispatch before its (faster) number counts.
+    # A bonus on top of the already-recorded classic number — never let it
+    # starve the read_id phase of budget.
+    if engine._use_stream_classic(n, K) and remaining() > 180:
         run_s = make_run(engine.search_keys_dev_classic_async)
         with step("classic stream warm (compile + first run)", 300):
             run_s()

@@ -46,8 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .query import FREQ_CAP, _accumulate_one, _device_blkoff
 
+import os as _os
+
 T = 128  # matrix tile rows (512-byte blocks)
-PC = 2048  # probes per grid step (v5e sweep: 2048 ~6% over 1024, 4096 flat)
+# probes per grid step. The kernel is grid-overhead-bound (~17us/chunk vs
+# ~6us of VPU/MXU work at 2048), so larger chunks amortize the overhead —
+# bounded by VMEM ([PC, 128*planes] i32 gather accumulator) and by the
+# window span (more probes per chunk span more matrix blocks). Read once at
+# import; COLORID_STREAM_PC overrides for sweeps.
+PC = int(_os.environ.get("COLORID_STREAM_PC", "2048"))
 HIST_W = 256  # in-kernel uniq-hit histogram width for WIDE color counts
 RES_CAP = 256 * PC  # residual probe slots (overflow-append bound)
 OVER_CAP = 1 << 18  # uniq-hit frequency-overflow entries per segment

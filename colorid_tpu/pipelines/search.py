@@ -130,7 +130,22 @@ def _device_count_search(file1, file2, engine, filter_t, qual_offset):
             for _id, s1, s2 in stream_fastq_pe(file1, file2, qual_offset)
             for s in (s1, s2)
         ]
+    return device_count_search_seqs(seqs, engine, filter_t)
+
+
+def device_count_search_seqs(seqs, engine, filter_t):
+    """The device-resident count+filter+query flow over in-memory byte
+    sequences (shared by the fastq path above and serve's /search bodies).
+    Returns (SearchResult, n_filtered_kmers) or None to fall back."""
+    import os
+
+    from ..ops.extract import pack_reads_valid
+
+    index = engine.index
+    k = index.k_size
     if not seqs:
+        return None
+    if getattr(engine, "_custom_place", False):
         return None
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
     Lmax = int(lens.max())

@@ -114,33 +114,45 @@ def _search_payload(payload: dict) -> dict:
     engine = _State.engine
     index = engine.index
     seqs = [to_bytes(s) for s in payload["sequences"]]
-    keys, counts = count_kmers(
-        iter(seqs), index.k_size, skip_n=True, uppercase=True
-    )
     filter_t = int(payload.get("filter", -1))
     gene = bool(payload.get("gene", False))
     cov = float(payload.get("p_shared", 0.35))
-    if gene:
-        keys, counts = clean_counts(keys, counts, 0)
-    elif filter_t < 0:
-        keys, counts = clean_counts(keys, counts, auto_cutoff(counts))
+    # fast path: device-resident extract+count+filter+query (the fused
+    # reads pipeline on eligible indexes) — the same flow the CLI search
+    # uses; falls back to host counting for lowercase/oversized bodies.
+    # Uppercase first: serve bodies follow the CLI's fasta semantics.
+    from .pipelines.search import device_count_search_seqs
+
+    up = [np.frombuffer(bytes(s).upper(), dtype=np.uint8) for s in seqs]
+    got = device_count_search_seqs(up, engine, 0 if gene else filter_t)
+    if got is not None:
+        res, n_kmers = got
     else:
-        keys, counts = clean_counts(keys, counts, filter_t)
-    res = engine.search_keys(keys, qcounts=counts.astype(np.int32))
+        keys, counts = count_kmers(
+            iter(seqs), index.k_size, skip_n=True, uppercase=True
+        )
+        if gene:
+            keys, counts = clean_counts(keys, counts, 0)
+        elif filter_t < 0:
+            keys, counts = clean_counts(keys, counts, auto_cutoff(counts))
+        else:
+            keys, counts = clean_counts(keys, counts, filter_t)
+        res = engine.search_keys(keys, qcounts=counts.astype(np.int32))
+        n_kmers = int(keys.shape[0])
     report = {
         index.colors[c]: int(res.counts[c])
         for c in range(index.n_colors)
         if res.counts[c] > 0
     }
     if gene:
-        lines = generate_report_gene("query", report, keys.shape[0], cov)
+        lines = generate_report_gene("query", report, n_kmers, cov)
     else:
         uniq_stats = {index.colors[c]: s for c, s in res.freq_stats().items()}
         lines = generate_report(
-            "query", report, uniq_stats, index.n_ref_kmers, keys.shape[0], cov
+            "query", report, uniq_stats, index.n_ref_kmers, n_kmers, cov
         )
     return {
-        "num_kmers": int(keys.shape[0]),
+        "num_kmers": int(n_kmers),
         "rows": [l.split("\t") for l in lines],
     }
 
