@@ -1190,6 +1190,25 @@ class QueryEngine:
         """readid counts with device-side window extraction: the host ships
         2-bit packed mates + the per-window rank plane (~2.3B/window) instead
         of 12B per unique k-mer. Same [B, C+1] contract as readid_counts."""
+        return self.readid_counts_reads_async(
+            mates_packed, mate_seg, lens, ranks, n_reads, start_sample, k, L
+        )()
+
+    def readid_counts_reads_async(
+        self,
+        mates_packed: np.ndarray,
+        mate_seg: np.ndarray,
+        lens: np.ndarray,
+        ranks: np.ndarray,
+        n_reads: int,
+        start_sample: int,
+        k: int,
+        L: int,
+    ):
+        """readid_counts_reads with a deferred fetch: all chunks dispatch
+        now and the returned zero-arg callable produces the [B, C+1] matrix
+        — the classifier overlaps the device round trip with host work
+        (decision math, tie preparation)."""
         from .ops.query import query_readid_reads_batch
 
         C = self.index.n_colors
@@ -1233,9 +1252,13 @@ class QueryEngine:
                 bv=self.bv or 1,
             )
             pending.append((r0, r1, report))
-        for r0, r1, report in pending:
-            out[r0:r1] = np.asarray(report)[: r1 - r0]
-        return out
+
+        def fetch() -> np.ndarray:
+            for r0, r1, report in pending:
+                out[r0:r1] = np.asarray(report)[: r1 - r0]
+            return out
+
+        return fetch
 
     def readid_counts_orderfree(
         self,

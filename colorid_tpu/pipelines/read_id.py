@@ -231,12 +231,17 @@ def _prepare_reads_orderfree(batch, todo_idx, k):
 
 
 def _resolve_orderfree(
-    batch, group, engine, rep0, p_false, fp_correct, start_sample, d, fnv
+    batch, group, engine, rep0, p_false, fp_correct, start_sample, d, fnv,
+    defer=False,
 ):
     """Exact report rows from the order-free pass: keep full counts for
     reads whose outcome provably cannot depend on FnvHashSet order; replay
     the exact hashbrown-order path for the rest. Returns (report [n, C+1],
-    maplen [n]).
+    maplen [n], pending): with defer=True and a native replay available,
+    the replay only DISPATCHES and pending = (unsafe_positions, fetch_fn,
+    maplen_u) — the caller overlaps the device round trip with its
+    decision math and patches the rows afterwards; otherwise pending is
+    None and the rows are final.
 
     Order only enters through the break at the first absent k-mer and the
     first-B candidate set (colors hit within the first B distinct k-mers
@@ -287,9 +292,12 @@ def _resolve_orderfree(
         pr = _prepare_reads(batch, sub, k, d, fnv)
         if pr is not None:
             mates, mseg, mlens, ranks, maplen, Lb = pr
-            rep_u = engine.readid_counts_reads(
+            fetch = engine.readid_counts_reads_async(
                 mates, mseg, mlens, ranks, len(sub), start_sample, k, Lb
             )
+            if defer:
+                return rep, ml, (uj, fetch, np.asarray(maplen))
+            rep_u = fetch()
             ml_u = np.asarray(maplen)
         else:
             keys_list = [
@@ -301,7 +309,7 @@ def _resolve_orderfree(
             rep_u = engine.readid_counts(keys_list, start_sample)
         rep[uj] = rep_u
         ml[uj] = ml_u
-    return rep, ml
+    return rep, ml, None
 
 
 def _prepare_native(batch, todo_idx, index, d, packed_ok):
@@ -420,6 +428,7 @@ def classify_batch(
         for g0 in range(0, len(clean_idx), GROUP)
     ]
     group_preps: list = []  # per-group prepared tuples, kept for tie fixup
+    deferred: list = []  # (group, (unsafe_positions, fetch, maplen_u))
     pr_iter = None
     if reads_path and not safe_path and threads > 1 and len(groups) > 1:
         # prefetch group preparation (the C++ rank emulation releases the
@@ -441,10 +450,15 @@ def classify_batch(
                     rep0 = engine.readid_counts_orderfree(
                         words, mlens, vbits, len(group), nm, k, Lb, d
                     )
-                    rep, ml = _resolve_orderfree(
+                    rep, ml, pend = _resolve_orderfree(
                         batch, group, engine, rep0, p_false, fp_correct,
-                        start_sample, d, fnv,
+                        start_sample, d, fnv, defer=True,
                     )
+                    if pend is not None:
+                        # exact replay of the unsafe reads is IN FLIGHT;
+                        # the decision math below overlaps it and the
+                        # rows patch afterwards
+                        deferred.append((len(report_parts), pend))
                     group_preps.append(None)
                     report_parts.append(rep)
                     maplen_parts.append(ml)
@@ -540,6 +554,59 @@ def classify_batch(
             name = ",".join(colors[int(cc)] for cc in tops)
             out[i] = (rid, name, tc_l[j], ml_l[j], "reject", len(tops))
             tie_js.append(j)
+    if deferred:
+        # the exact replays dispatched in _resolve_orderfree overlapped the
+        # math and assembly above (which used order-free placeholders for
+        # the unsafe rows); fetch, patch, and redo just those rows
+        pos_of = {i: j for j, i in enumerate(todo_idx)}
+        patched: list[int] = []
+        for g, (uj, fetch, ml_u) in deferred:
+            rep_u = fetch()
+            for t, jl in enumerate(uj):
+                i = clean_idx[g * GROUP + int(jl)]
+                jj = pos_of[i]
+                report_rows[i] = rep_u[t]
+                real[jj] = rep_u[t][:C]
+                noh[jj] = rep_u[t][C]
+                mlen[jj] = int(ml_u[t])
+                maplen_map[i] = int(ml_u[t])
+                patched.append(jj)
+        pj = np.asarray(patched, dtype=np.int64)
+        sig[pj] = False
+        nz_r2, nz_c2 = np.nonzero(real[pj] > 0)
+        if nz_r2.size:
+            sig[pj[nz_r2], nz_c2] = ~not_fp_significant_mask(
+                mlen[pj[nz_r2]], p_false[nz_c2],
+                real[pj[nz_r2], nz_c2], fp_correct,
+            )
+        top_count[pj] = np.where(sig[pj], real[pj], -1).max(
+            axis=1, initial=-1
+        )
+        is_top[pj] = sig[pj] & (real[pj] == top_count[pj][:, None])
+        n_top[pj] = is_top[pj].sum(axis=1)
+        any_sig[pj] = sig[pj].any(axis=1)
+        drop = set(patched)
+        tie_js = [j for j in tie_js if j not in drop]
+        for jj in patched:
+            i = todo_idx[jj]
+            rid = batch[i][0]
+            L = int(mlen[jj])
+            if (real[jj].sum() + noh[jj]) == 0 or (
+                noh[jj] > 0 and real[jj].max(initial=0) == 0
+            ):
+                out[i] = (rid, "no_hits", 0, L, "accept", 0)
+            elif not any_sig[jj]:
+                out[i] = (rid, "no_significant_hits", 0, L, "reject", 0)
+            elif n_top[jj] == 1:
+                c = int(np.argmax(is_top[jj]))
+                out[i] = (rid, colors[c], int(top_count[jj]), L, "accept", 1)
+            else:
+                tops = np.nonzero(is_top[jj])[0]
+                name = ",".join(colors[int(cc)] for cc in tops)
+                out[i] = (
+                    rid, name, int(top_count[jj]), L, "reject", len(tops)
+                )
+                tie_js.append(jj)
     if tie_js and fnv:
         _fix_tie_order(
             batch, todo_idx, tie_js, engine, d, start_sample,
