@@ -81,7 +81,7 @@ def _assert_same(a, b):
 def test_colorshard_stream_matches_single_device(num_hash, n_data, n_shards):
     C, R = 4096, 32768
     index = _mk_index(C, R, num_hash, n_shards)
-    keys, qc = _mk_keys(24_000)
+    keys, qc = _mk_keys(14_000)
     ref = QueryEngine(index, chunk=1 << 14).search_keys(keys, qcounts=qc)
     eng = _eng(index, n_data, n_shards)
     assert eng._planes is not None, "stream path not eligible"
