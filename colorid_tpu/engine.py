@@ -1087,13 +1087,31 @@ class QueryEngine:
         """readid_firsthit from 2-bit packed mates + the per-window rank
         plane (no host k-mer work; the tie-fixup path for reads-path
         groups). Same [B, C+1] contract as readid_firsthit."""
+        return self.readid_firsthit_reads_async(
+            mates_packed, mate_seg, lens, ranks, n_reads, start_sample, k, L
+        )()
+
+    def readid_firsthit_reads_async(
+        self,
+        mates_packed: np.ndarray,
+        mate_seg: np.ndarray,
+        lens: np.ndarray,
+        ranks: np.ndarray,
+        n_reads: int,
+        start_sample: int,
+        k: int,
+        L: int,
+    ):
+        """readid_firsthit_reads with a deferred fetch (dispatch now,
+        returned callable produces the matrix) so the classifier overlaps
+        the tie-fixup round trip with other host work."""
         from .ops.query import query_readid_firsthit_reads
 
         C = self.index.n_colors
         M = mates_packed.shape[0]
         out = np.full((n_reads, C + 1), 2**30, dtype=np.int32)
         if M == 0:
-            return out
+            return lambda: out
         size = max(1 << (M - 1).bit_length(), 16)
         mp = np.zeros((size, mates_packed.shape[1]), dtype=np.uint32)
         mp[:M] = mates_packed
@@ -1122,8 +1140,12 @@ class QueryEngine:
             rpb=self.rpb,
             bv=self.bv or 1,
         )
-        out[:] = np.asarray(rep)[:n_reads]
-        return out
+
+        def fetch() -> np.ndarray:
+            out[:] = np.asarray(rep)[:n_reads]
+            return out
+
+        return fetch
 
     def readid_counts_packed(
         self,

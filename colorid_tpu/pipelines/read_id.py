@@ -554,11 +554,28 @@ def classify_batch(
             name = ",".join(colors[int(cc)] for cc in tops)
             out[i] = (rid, name, tc_l[j], ml_l[j], "reject", len(tops))
             tie_js.append(j)
+    fh_job = None
+    late_ties: list[int] = []
     if deferred:
         # the exact replays dispatched in _resolve_orderfree overlapped the
         # math and assembly above (which used order-free placeholders for
-        # the unsafe rows); fetch, patch, and redo just those rows
+        # the unsafe rows). Dispatch the tie-fixup first-hit kernel for the
+        # SAFE ties now too (their counts are final), so both round trips
+        # fly while the rows patch below runs; then fetch, patch, and redo
+        # just the unsafe rows.
         pos_of = {i: j for j, i in enumerate(todo_idx)}
+        unsafe_jj = {
+            pos_of[clean_idx[g * GROUP + int(jl)]]
+            for g, (uj, _f, _m) in deferred
+            for jl in uj
+        }
+        tie_js = [j for j in tie_js if j not in unsafe_jj]
+        if tie_js and fnv:
+            fh_job = _tie_fh_start(
+                batch, todo_idx, tie_js, engine, d, start_sample,
+                group_preps=group_preps, clean_idx=clean_idx,
+                group_size=GROUP,
+            )
         patched: list[int] = []
         for g, (uj, fetch, ml_u) in deferred:
             rep_u = fetch()
@@ -585,8 +602,6 @@ def classify_batch(
         is_top[pj] = sig[pj] & (real[pj] == top_count[pj][:, None])
         n_top[pj] = is_top[pj].sum(axis=1)
         any_sig[pj] = sig[pj].any(axis=1)
-        drop = set(patched)
-        tie_js = [j for j in tie_js if j not in drop]
         for jj in patched:
             i = todo_idx[jj]
             rid = batch[i][0]
@@ -606,10 +621,18 @@ def classify_batch(
                 out[i] = (
                     rid, name, int(top_count[jj]), L, "reject", len(tops)
                 )
-                tie_js.append(jj)
+                late_ties.append(jj)
     if tie_js and fnv:
         _fix_tie_order(
             batch, todo_idx, tie_js, engine, d, start_sample,
+            real, noh, sig, top_count, mlen, out,
+            group_preps=group_preps, clean_idx=clean_idx, group_size=GROUP,
+            fh_job=fh_job,
+        )
+    if late_ties and fnv:
+        # ties discovered among the replayed (unsafe) rows — rare
+        _fix_tie_order(
+            batch, todo_idx, late_ties, engine, d, start_sample,
             real, noh, sig, top_count, mlen, out,
             group_preps=group_preps, clean_idx=clean_idx, group_size=GROUP,
         )
@@ -665,16 +688,57 @@ def _gather_tie_prep(tie_batch_idx, group_preps, clean_idx, group_size):
     )
 
 
+def _tie_fh_start(
+    batch, todo_idx, tie_js, engine, d, start_sample,
+    group_preps=None, clean_idx=None, group_size=0,
+):
+    """Prep + DISPATCH the first-hit kernel for the tied reads; returns a
+    zero-arg fetch() -> fh matrix, or None when only the host-keys
+    fallback applies (_fix_tie_order then computes fh inline). Splitting
+    dispatch from fetch lets classify_batch overlap the round trip with
+    the deferred-replay patch."""
+    index = engine.index
+    k, m = index.k_size, index.m_size
+    if not (
+        m == 0
+        and 4 <= k <= 32
+        and index.bloom_size < 2**31
+        and not getattr(engine, "_custom_place", False)
+        and hasattr(engine, "readid_firsthit_reads_async")
+        and os.environ.get("COLORID_RID_READS", "1") != "0"
+    ):
+        return None
+    # reuse the device-extraction machinery for just the tied reads —
+    # no host k-mer work; the prepared group arrays are recycled when
+    # available, else the native prepare pass re-runs on the subset
+    tie_batch_idx = [todo_idx[j] for j in tie_js]
+    pr = None
+    if group_preps is not None:
+        pr = _gather_tie_prep(
+            tie_batch_idx, group_preps, clean_idx, group_size
+        )
+    if pr is None:
+        pr = _prepare_reads(batch, tie_batch_idx, k, d, fnv_order_enabled())
+    if pr is None:
+        return None
+    mates, mseg, mlens, ranks, _maplen, Lb = pr
+    return engine.readid_firsthit_reads_async(
+        mates, mseg, mlens, ranks, len(tie_js), start_sample, k, Lb
+    )
+
+
 def _fix_tie_order(
     batch, todo_idx, tie_js, engine, d, start_sample,
     real, noh, sig, top_count, mlen, out,
-    group_preps=None, clean_idx=None, group_size=0,
+    group_preps=None, clean_idx=None, group_size=0, fh_job=None,
 ) -> None:
     """Rewrite tied-top reject rows so the comma-joined names follow the
     reference's order: kmer_poll_plus stable-sorts the report FnvHashMap's
     iteration order by count (read_id_mt_pe.rs:195-196), so ties keep map
     order. The map's insertion order is recovered from the device first-hit
-    matrix; its iteration order via the hashbrown emulation (core/fnv.py)."""
+    matrix; its iteration order via the hashbrown emulation (core/fnv.py).
+    fh_job, when given, is an in-flight _tie_fh_start dispatch for exactly
+    these tie_js."""
     from ..core.fnv import fnv_map_order_usize
 
     index = engine.index
@@ -682,30 +746,13 @@ def _fix_tie_order(
     k, m = index.k_size, index.m_size
     colors = index.colors
     BIG = 2**30
-    fh = None
-    if (
-        m == 0
-        and 4 <= k <= 32
-        and index.bloom_size < 2**31
-        and hasattr(engine, "readid_firsthit_reads")
-        and os.environ.get("COLORID_RID_READS", "1") != "0"
-    ):
-        # reuse the device-extraction machinery for just the tied reads —
-        # no host k-mer work; the prepared group arrays are recycled when
-        # available, else the native prepare pass re-runs on the subset
-        tie_batch_idx = [todo_idx[j] for j in tie_js]
-        pr = None
-        if group_preps is not None:
-            pr = _gather_tie_prep(
-                tie_batch_idx, group_preps, clean_idx, group_size
-            )
-        if pr is None:
-            pr = _prepare_reads(batch, tie_batch_idx, k, d, fnv_order_enabled())
-        if pr is not None:
-            mates, mseg, mlens, ranks, _maplen, Lb = pr
-            fh = engine.readid_firsthit_reads(
-                mates, mseg, mlens, ranks, len(tie_js), start_sample, k, Lb
-            )
+    if fh_job is None:
+        fh_job = _tie_fh_start(
+            batch, todo_idx, tie_js, engine, d, start_sample,
+            group_preps=group_preps, clean_idx=clean_idx,
+            group_size=group_size,
+        )
+    fh = fh_job() if fh_job is not None else None
     if fh is None:
         keys_list = []
         for j in tie_js:
