@@ -800,6 +800,9 @@ def main():
                 f"({counts_a.tolist()} vs {counts_b.tolist()}); dropping "
                 "the fused measurement")
             STATE.pop("fused", None)
+            STATE["parity"] = (
+                (STATE.get("parity") or "") + "+fused_full"
+            ).lstrip("+")
             record("stream", STATE.get("stream") or 0.0)
         else:
             log("parity check: stream and fused per-color counts identical "
