@@ -143,9 +143,14 @@ def device_count_search_seqs(seqs, engine, filter_t):
 
     index = engine.index
     k = index.k_size
-    if not seqs:
-        return None
-    if getattr(engine, "_custom_place", False):
+    if not (
+        seqs
+        and hasattr(engine, "search_reads")
+        and 4 <= k <= 32
+        and index.bloom_size < 2**31
+        and not getattr(engine, "_custom_place", False)
+        and os.environ.get("COLORID_SEARCH_READS", "1") != "0"
+    ):
         return None
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
     Lmax = int(lens.max())

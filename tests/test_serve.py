@@ -161,3 +161,55 @@ def test_bad_json(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def test_search_device_vs_host_parity(server, monkeypatch):
+    """/search must return identical rows whether the body goes through the
+    device-resident reads pipeline (default) or the host k-mer counting
+    fallback (COLORID_SEARCH_READS=0), including N-containing and short
+    sequences and the auto-cutoff (filter=-1) path."""
+    import numpy as np
+
+    from colorid_tpu.core.fastx import read_fasta as _rf
+
+    g = "".join(
+        _rf(f"{REFS}/Listeria_phage_B056.fasta")
+    ).upper()
+    rng = np.random.default_rng(8)
+    seqs = []
+    for i in range(120):
+        s = int(rng.integers(0, len(g) - 150))
+        r = list(g[s : s + 150])
+        if i % 9 == 0:
+            for p in rng.integers(0, 150, 4):
+                r[int(p)] = "N"
+        if i % 17 == 0:
+            r = r[:20]  # shorter than k: contributes nothing
+        seqs.append("".join(r))
+    from colorid_tpu.pipelines import search as S
+
+    calls = {"dev": 0}
+    orig = S.device_count_search_seqs
+
+    def spy(*a, **kw):
+        r = orig(*a, **kw)
+        if r is not None:
+            calls["dev"] += 1
+        return r
+
+    monkeypatch.setattr(S, "device_count_search_seqs", spy)
+    for payload in (
+        {"sequences": seqs, "filter": 1},
+        {"sequences": seqs, "filter": -1},
+        {"sequences": seqs, "gene": True},
+    ):
+        before = calls["dev"]
+        dev = _post(server + "/search", payload)
+        assert calls["dev"] == before + 1, "device path did not run"
+        monkeypatch.setenv("COLORID_SEARCH_READS", "0")
+        try:
+            host = _post(server + "/search", payload)
+        finally:
+            monkeypatch.delenv("COLORID_SEARCH_READS")
+        assert calls["dev"] == before + 1, "host fallback did not engage"
+        assert dev == host, payload
