@@ -37,6 +37,15 @@ class ShardedQueryEngine:
         self.index = index
         self.layout = layout
         self.chunk = chunk
+        if index.bloom_size >= 2**31:
+            # the sharded kernels address rows in int32; wide blooms are
+            # served single-device (engine.QueryEngine's block-lane split)
+            # or through a born-row-sharded build whose shards stay small
+            raise ValueError(
+                "ShardedQueryEngine hashes global rows in int32; "
+                "bloom_size >= 2^31 is currently served single-device "
+                "(engine.QueryEngine's wide block-lane addressing)"
+            )
         if mesh is None:
             n = len(jax.devices())
             mesh = sharded.make_mesh(n_data, n // n_data, layout)

@@ -95,3 +95,13 @@ def test_wide_read_id_rows_path(wide_index):
     # B021 for reads from shared regions — a correct reject)
     assert all("B056" in r[1] for r in rows)
     assert sum(r[1] == "B056" and r[4] == "accept" for r in rows) >= len(rows) // 2
+
+
+def test_wide_bloom_sharded_engine_raises(wide_index):
+    """The sharded kernels address rows in int32; a wide bloom must raise
+    a clear error instead of silently wrapping row indices."""
+    from colorid_tpu.parallel.engine import ShardedQueryEngine
+
+    index, _refs = wide_index
+    with pytest.raises(ValueError, match="int32"):
+        ShardedQueryEngine(index, layout="row")
