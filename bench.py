@@ -420,8 +420,10 @@ def phase_stream(engine, keys, qcounts, packed) -> np.ndarray | None:
     # queue back-to-back and ONE stacked D2H fetches all their
     # accumulators, amortizing the tunnel round-trip the way a streaming
     # pipeline overlaps fetches with the next batch (the reference's span
-    # is likewise a continuous loop over the whole query stream)
-    DISP = int(os.environ.get("BENCH_STREAM_DISPATCHES", 4))
+    # is likewise a continuous loop over the whole query stream). DISP
+    # sweep on-chip (r5): 4/8/12 -> 79.4/81.6/83.1 M; 8 balances the
+    # longer steady window against per-trial budget.
+    DISP = int(os.environ.get("BENCH_STREAM_DISPATCHES", 8))
 
     def run():
         import jax.numpy as jnp
