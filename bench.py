@@ -684,7 +684,7 @@ def phase_read_id(engine):
         read_id([fq1, fq2], engine, prefix=out)  # warm kernels
     with step("read_id timed", 150):
         dt = _trials(
-            "read_id", lambda: read_id([fq1, fq2], engine, prefix=out), 3, 60
+            "read_id", lambda: read_id([fq1, fq2], engine, prefix=out), 6, 60
         )
     log(f"read_id: {RID_READS} PE pairs in {dt:.1f}s -> "
         f"{RID_READS / dt:.0f} pairs/s")
