@@ -134,6 +134,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ct_pack_valid_sel.restype = None
+        lib.ct_pack_valid_sel.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.rs_open.restype = ctypes.c_void_p
         lib.rs_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32]
         lib.rs_close.argtypes = [ctypes.c_void_p]
@@ -524,3 +529,24 @@ def read_rank_windows(
     if packed is not None:
         return ranks[:n_mates], maplen[:n_reads], packed[:n_mates]
     return ranks[:n_mates], maplen[:n_reads]
+
+
+def pack_valid_sel(
+    buf: np.ndarray, starts: np.ndarray, lens: np.ndarray, pack_len: int
+):
+    """pack_valid over non-contiguous (start, len) slices of one buffer
+    (the read_id raw-batch fast path). None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    M = starts.shape[0]
+    words = np.zeros((M, pack_len // 16), dtype=np.uint32)
+    valid = np.zeros((M, pack_len // 32), dtype=np.uint32)
+    lib.ct_pack_valid_sel(
+        buf.ctypes.data, starts.ctypes.data, lens.ctypes.data, M, pack_len,
+        words.ctypes.data, valid.ctypes.data,
+    )
+    return words, valid

@@ -1041,3 +1041,27 @@ extern "C" void ct_pack_valid(
         }
     }
 }
+
+extern "C" void ct_pack_valid_sel(
+    const uint8_t* buf, const int64_t* starts, const int64_t* lens,
+    int64_t n_seqs, int64_t pack_len, uint32_t* words_out,
+    uint32_t* valid_out) {
+    // ct_pack_valid over NON-contiguous selections: each sequence is an
+    // explicit (start, len) slice of one buffer, so the classifier can
+    // pack a subset of the C++ fastq frontend's batch without
+    // re-concatenating bytes host-side.
+    int64_t wpm = pack_len / 16;
+    int64_t vpm = pack_len / 32;
+    for (int64_t s = 0; s < n_seqs; s++) {
+        const uint8_t* seq = buf + starts[s];
+        int64_t len = lens[s] > pack_len ? pack_len : lens[s];
+        uint32_t* pw = words_out + s * wpm;
+        uint32_t* vw = valid_out + s * vpm;
+        for (int64_t i = 0; i < len; i++) {
+            uint8_t c = CODE[seq[i]];
+            if (c >= 4) continue;
+            pw[i >> 4] |= (uint32_t)c << (2 * (15 - (i & 15)));
+            vw[i >> 5] |= (uint32_t)1 << (i & 31);
+        }
+    }
+}

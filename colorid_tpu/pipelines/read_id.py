@@ -110,6 +110,8 @@ def _split_lowercase(batch, todo_idx):
     """Indices whose reads contain lowercase acgt (the 2-bit fast path can't
     represent raw-byte canonical order for mixed case; such reads take the
     exact numpy path). Vectorized over the whole batch."""
+    if isinstance(batch, _RawBatch) and not batch.any_lower():
+        return todo_idx, []  # one pass over the raw buffer, no per-read work
     seqs = []
     counts = []
     for i in todo_idx:
@@ -190,14 +192,91 @@ def _ranges(lens: np.ndarray) -> np.ndarray:
     )
 
 
+class _RawBatch:
+    """The C++ fastq frontend's batch kept in its raw buffers: read ids
+    plus ONE byte buffer with per-mate offsets. Quacks like the
+    list-of-(id, [mate views]) batches everywhere (lazy __getitem__), but
+    the hot classifier paths consume the buffers directly — per-read
+    python work only happens for the reads that hit a fallback path."""
+
+    __slots__ = ("ids", "buf", "offs", "nseqs", "_mate0")
+
+    def __init__(self, ids, buf, offs, nseqs):
+        self.ids = ids
+        self.buf = buf
+        self.offs = np.asarray(offs, dtype=np.int64)
+        self.nseqs = np.asarray(nseqs, dtype=np.int64)
+        m0 = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(self.nseqs, out=m0[1:])
+        self._mate0 = m0  # read i owns mates [m0[i], m0[i+1])
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __getitem__(self, i):
+        lo, hi = int(self._mate0[i]), int(self._mate0[i + 1])
+        return (
+            self.ids[i],
+            [
+                self.buf[self.offs[t] : self.offs[t + 1]]
+                for t in range(lo, hi)
+            ],
+        )
+
+    def __iter__(self):
+        for i in range(len(self.ids)):
+            yield self[i]
+
+    def first_lens(self) -> np.ndarray:
+        """Length of each read's first mate (0 for mate-less reads)."""
+        f = np.minimum(self._mate0[:-1], self.offs.shape[0] - 2)
+        return np.where(
+            self.nseqs > 0, self.offs[f + 1] - self.offs[f], 0
+        )
+
+    def any_lower(self) -> bool:
+        return bool(_LOWER[self.buf].any())
+
+    def mates_sel(self, idx):
+        """(starts, lens, nm) of the mates belonging to the given read
+        indices; nm is the uniform mates-per-read or None if mixed."""
+        idx = np.asarray(idx, dtype=np.int64)
+        ns = self.nseqs[idx]
+        nm = (
+            int(ns[0]) if idx.size and (ns == ns[0]).all() else None
+        )
+        mates = np.repeat(self._mate0[idx], ns) + _ranges(ns)
+        starts = self.offs[mates]
+        return starts, self.offs[mates + 1] - starts, nm
+
+
+def _read_id_of(batch, i):
+    """Read id without materializing a _RawBatch row's mate views."""
+    return batch.ids[i] if isinstance(batch, _RawBatch) else batch[i][0]
+
+
 def _prepare_reads_orderfree(batch, todo_idx, k):
     """Host prep for the order-free classifier pass: pack mates to 2-bit
     words + a per-base validity plane, NO hashbrown rank replay (the device
     dedups each read's k-mer set itself). Returns (words, lens, valid_bits,
     nm, Lb) or None (non-uniform mate counts / oversized / empty), in which
     case the caller uses the exact-order machinery for the whole group."""
+    from .. import native
     from ..ops.extract import pack_reads_valid
 
+    if isinstance(batch, _RawBatch) and native.available():
+        # raw fast path: pack straight from the frontend's byte buffer via
+        # per-mate (start, len) slices — zero per-read python work
+        starts, mlens, nm = batch.mates_sel(todo_idx)
+        if nm is None or nm == 0 or mlens.size == 0:
+            return None
+        Lmax = int(mlens.max())
+        if Lmax < k or Lmax > 4096:
+            return None
+        Lb = max(64, -(-Lmax // 32) * 32)
+        got = native.pack_valid_sel(batch.buf, starts, mlens, Lb)
+        if got is not None:
+            return got[0], mlens.astype(np.int32), got[1], nm, Lb
     seqs = []
     nm = None
     for i in todo_idx:
@@ -381,11 +460,20 @@ def classify_batch(
     )
     out: list[Classification] = [None] * len(batch)  # type: ignore
     todo_idx: list[int] = []
-    for i, (rid, seqs) in enumerate(batch):
-        if len(seqs[0]) < k:
-            out[i] = (rid, "too_short", 0, 0, "accept", 0)
-            continue
-        todo_idx.append(i)
+    if isinstance(batch, _RawBatch):
+        fl = batch.first_lens()
+        ids = batch.ids
+        for i in range(len(batch)):
+            if fl[i] < k:
+                out[i] = (ids[i], "too_short", 0, 0, "accept", 0)
+            else:
+                todo_idx.append(i)
+    else:
+        for i, (rid, seqs) in enumerate(batch):
+            if len(seqs[0]) < k:
+                out[i] = (rid, "too_short", 0, 0, "accept", 0)
+                continue
+            todo_idx.append(i)
     if not todo_idx:
         return out
     packed_ok = index.bloom_size < 2**31 and not getattr(
@@ -541,7 +629,7 @@ def classify_batch(
     tc_l = top_count.tolist()
     ti_l = np.argmax(is_top, axis=1).tolist()
     for j, i in enumerate(todo_idx):
-        rid = batch[i][0]
+        rid = _read_id_of(batch, i)
         c = cat_l[j]
         if c == 2:
             out[i] = (rid, colors[ti_l[j]], tc_l[j], ml_l[j], "accept", 1)
@@ -604,7 +692,7 @@ def classify_batch(
         any_sig[pj] = sig[pj].any(axis=1)
         for jj in patched:
             i = todo_idx[jj]
-            rid = batch[i][0]
+            rid = _read_id_of(batch, i)
             L = int(mlen[jj])
             if (real[jj].sum() + noh[jj]) == 0 or (
                 noh[jj] > 0 and real[jj].max(initial=0) == 0
@@ -780,7 +868,7 @@ def _fix_tie_order(
         ]
         name = ",".join(colors[c] for c in tops_in_order)
         out[i] = (
-            batch[i][0], name, int(top_count[j]), int(mlen[j]),
+            _read_id_of(batch, i), name, int(top_count[j]), int(mlen[j]),
             "reject", len(tops_in_order),
         )
 
@@ -862,17 +950,10 @@ def _run_stream_native(
     def _produce() -> None:
         try:
             for ids, seq_buf, seq_offs, nseqs in stream:
-                batch = []
-                j = 0
-                for i, rid in enumerate(ids):
-                    m = int(nseqs[i])
-                    seqs = [
-                        seq_buf[seq_offs[j + t] : seq_offs[j + t + 1]]
-                        for t in range(m)
-                    ]
-                    j += m
-                    batch.append((rid, seqs))
-                q.put(batch)
+                # raw pass-through: classify_batch consumes the frontend's
+                # buffers directly (_RawBatch); per-read tuple building
+                # happens lazily only on fallback paths
+                q.put(_RawBatch(list(ids), seq_buf, seq_offs, nseqs))
             q.put(None)
         except BaseException as e:  # surface decode errors in the consumer
             q.put(e)
