@@ -425,11 +425,16 @@ def phase_stream(engine, keys, qcounts, packed) -> np.ndarray | None:
     # longer steady window against per-trial budget.
     DISP = int(os.environ.get("BENCH_STREAM_DISPATCHES", 8))
 
+    # the host counted the query k-mers, so the batch's max frequency is
+    # known for free; below 2^11 it lets the engine drop the sort's
+    # frequency payload array (ops/stream_query.QKEY_BITS sort diet)
+    max_freq = int(qc32.max())
+
     def run():
         import jax.numpy as jnp
 
         outs = [
-            engine.search_keys_dev_async(pk_dev, qc_dev, k=K)
+            engine.search_keys_dev_async(pk_dev, qc_dev, k=K, max_freq=max_freq)
             for _ in range(DISP)
         ]
         big = np.asarray(jnp.stack([o[0] for o in outs]))

@@ -406,6 +406,7 @@ class QueryEngine:
         pk_dev,  # uint32 [P, 2] device-resident packed k-mers
         qc_dev,  # int32 [P] device-resident full frequencies (0 = pad)
         k: int,
+        max_freq: int | None = None,
     ) -> SearchResult | None:
         """search_keys over a device-resident, pre-padded query batch.
 
@@ -419,7 +420,7 @@ class QueryEngine:
         stream-eligible. Returns None if the kernel's residual/overflow
         capacity was exceeded (caller reruns via the generic host path)."""
         vec, oc_buf, of_buf, capO = self.search_keys_dev_async(
-            pk_dev, qc_dev, k=k
+            pk_dev, qc_dev, k=k, max_freq=max_freq
         )
         # ONE D2H round trip for stats + drop guard + histogram (the tunnel
         # RTT is 100-500ms; per-array fetches would dominate the span)
@@ -427,15 +428,24 @@ class QueryEngine:
             np.asarray(vec), oc_buf, of_buf, capO
         )
 
-    def search_keys_dev_async(self, pk_dev, qc_dev, k: int):
+    def search_keys_dev_async(self, pk_dev, qc_dev, k: int,
+                              max_freq: int | None = None):
         """Dispatch half of search_keys_dev: returns (vec, oc_buf, of_buf,
         capO) with vec = concat([stats, n_drop, hist.ravel()]) still on
         device, so callers can pipeline several dispatches and fetch them
         in one stacked D2H (steady-state throughput measurement; a real
-        streaming pipeline overlaps fetches with the next batch)."""
+        streaming pipeline overlaps fetches with the next batch).
+
+        max_freq: optional UPPER BOUND on the batch's k-mer frequencies
+        (hosts that counted the k-mers know it for free). When it fits the
+        sort key's low bits, the pre-kernel sort drops its frequency
+        payload array (ops/stream_query.QKEY_BITS); a bound that is too
+        low would silently clip overflow frequencies, so only pass a true
+        bound."""
         from .ops.stream_query import (
             OVER_CAP,
             PC,
+            QKEY_MASK,
             RES_CAP,
             stream_accumulate_hash_exact,
         )
@@ -469,6 +479,7 @@ class QueryEngine:
             wpad=self.wpad, k=k, num_hash=self.index.num_hash,
             bloom_size=self.index.bloom_size, rpb=self.rpb,
             n_colors=C, bv=self.bv,
+            qc_in_key=max_freq is not None and 0 < max_freq <= QKEY_MASK,
         )
         vec = jnp.concatenate([stats, nd[None], hist.reshape(-1)])
         return vec, oc_buf, of_buf, capO

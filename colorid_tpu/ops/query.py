@@ -347,8 +347,25 @@ def _accumulate_tail(
     small = uniq_mask & (qcounts < FREQ_CAP)
     hist_col = jnp.where(small, coloridx, C)
     qclip = jnp.clip(qcounts, 0, FREQ_CAP - 1)
-    if C < 128:
-        CP = 32 if C < 32 else 128
+    if C < 32:
+        # joint (color, freq-hi) rows shrink the one-hot operands from
+        # CP + FREQ_CAP to CP*HH + 128 lanes (same trick as the stream
+        # kernel's in-kernel histogram): delta2[c*HH + hi, lo] counts
+        # (color c, freq 128*hi + lo), and the reshape recovers
+        # [color, freq] exactly.
+        CP, HH = 32, FREQ_CAP // 128
+        jcol = hist_col * HH + (qclip >> 7)
+        ochi = (jcol[:, None] == jnp.arange(CP * HH, dtype=jnp.int32)
+                ).astype(jnp.int8)
+        ovlo = ((qclip[:, None] & 127) == jnp.arange(128, dtype=jnp.int32)
+                ).astype(jnp.int8)
+        delta = jax.lax.dot_general(
+            ochi, ovlo, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(CP, FREQ_CAP)
+        hist = hist + delta[:C]
+    elif C < 128:
+        CP = 128
         oc = (hist_col[:, None] == jnp.arange(CP, dtype=jnp.int32)).astype(
             jnp.int8
         )

@@ -92,6 +92,23 @@ def _hist_w(n_colors: int) -> int:
 # 65536 + 16777216) = 0x80808080, as an int32 bit pattern
 _DEOFFSET = np.int32(np.uint32(0x80808080).astype(np.int64) - (1 << 32))
 
+# Clipped-frequency bits packed into the sort key (sort diet): carrying
+# min(freq, 2^QKEY_BITS - 1) in the key's low bits drops one payload array
+# from the pre-kernel sort (measured ~10ms per 10M-probe dispatch on v5e).
+# Sound because within-block probe order is irrelevant (the kernel window is
+# chosen per chunk) and every consumer of the frequency either needs it only
+# below FREQ_CAP (the histogram/overflow routing) or gets the exact value
+# from the overflow payload (gidx in clipped mode, the frequency itself in
+# exact mode when the caller guarantees max < 2^QKEY_BITS).
+QKEY_BITS = 11
+QKEY_MASK = (1 << QKEY_BITS) - 1
+
+
+def _qc_in_key_ok(bloom_size: int, rpb: int) -> bool:
+    """Static guard: the block index must fit the key's high bits."""
+    n_blocks = (bloom_size + rpb - 1) // rpb
+    return n_blocks <= (1 << (32 - QKEY_BITS))
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -141,6 +158,7 @@ def _n_color_groups(wpad: int) -> int:
 def _stream_kernel(
     tb_ref, blk_ref, off_ref, qc_ref, *refs,
     num_hash, wpad, n_colors, cp, hw, planes, n_chunks, nt, raw=False,
+    joint=False,
 ):
     tiles = refs[:nt]
     if raw:
@@ -165,17 +183,20 @@ def _stream_kernel(
 
     # --- block gather: int8 one-hot row-select over nt byte-plane tiles
     # (only the live byte planes participate: index bits >= n_colors are
-    # never set, so single-word rows need just ceil(C/8) planes)
+    # never set, so single-word rows need just ceil(C/8) planes). ONE
+    # compare over the whole nt*T window builds the row one-hot; each
+    # tile's dot takes its lane-aligned slice.
     PLW = 128 * planes
     base = tb_ref[j] * T
     l2 = (blk_ref[:] - base)[:, None]  # i32 [PC, 1]
-    iota_T = jax.lax.broadcasted_iota(jnp.int32, (PC, T), 1)
+    iota_NT = jax.lax.broadcasted_iota(jnp.int32, (PC, nt * T), 1)
+    S = (l2 == iota_NT).astype(jnp.int8)
     g = jax.lax.dot_general(
-        (l2 == iota_T).astype(jnp.int8), tiles[0][:, :PLW],
+        S[:, 0:T], tiles[0][:, :PLW],
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
     for t in range(1, nt):
         g = g + jax.lax.dot_general(
-            ((l2 - t * T) == iota_T).astype(jnp.int8), tiles[t][:, :PLW],
+            S[:, t * T:(t + 1) * T], tiles[t][:, :PLW],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
     # g[p, 128*plane + lane] = byte(plane) of the probe's block word at
     # lane, minus 128 (all-zero for out-of-window probes, masked via qc==0)
@@ -314,13 +335,33 @@ def _stream_kernel(
         qclip = jnp.clip(qc, 0, hw - 1)
         small = uniq & (qc < hw)
         hist_col = jnp.where(small, colorsum, n_colors)[:, None]
-        oc = (hist_col == jax.lax.broadcasted_iota(jnp.int32, (PC, cp), 1)
-              ).astype(jnp.int8)
-        ov = (qclip[:, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (PC, hw), 1)).astype(jnp.int8)
-        delta = jax.lax.dot_general(
-            oc, ov, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        )  # [cp, hw]
+        if joint:
+            # narrow-color diet: building a [PC, hw=1024] frequency one-hot
+            # costs ~2 VPU passes over 1024 lanes per chunk. Splitting the
+            # frequency into (hi = f >> 7, lo = f & 127) and fusing hi into
+            # the color one-hot shrinks the operands to cp*HH + 128 lanes:
+            # delta2[c*HH + hi, lo] = count(color c, freq 128*hi + lo), so
+            # hist_ref rows are (color, freq-hi) pairs and the caller's
+            # reshape(cp, hw) recovers the [color, freq] layout exactly.
+            HH = hw // 128
+            jcol = hist_col * HH + (qclip[:, None] >> 7)
+            ochi = (jcol == jax.lax.broadcasted_iota(
+                jnp.int32, (PC, cp * HH), 1)).astype(jnp.int8)
+            ovlo = ((qclip[:, None] & 127) == jax.lax.broadcasted_iota(
+                jnp.int32, (PC, 128), 1)).astype(jnp.int8)
+            delta = jax.lax.dot_general(
+                ochi, ovlo, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [cp*HH, 128]
+        else:
+            oc = (hist_col == jax.lax.broadcasted_iota(
+                jnp.int32, (PC, cp), 1)).astype(jnp.int8)
+            ov = (qclip[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (PC, hw), 1)).astype(jnp.int8)
+            delta = jax.lax.dot_general(
+                oc, ov, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [cp, hw]
         hist_ref[:] = hist_ref[:] + delta
 
     @pl.when(j == n_chunks - 1)
@@ -340,6 +381,11 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
     CGP = 128 * _n_color_groups(wpad)  # color-bit capacity, 128-padded
     hw = _hist_w(n_colors)
     nt = _nt_win(wpad)
+    # joint (color, freq-hi) histogram rows pay off exactly when they shrink
+    # the one-hot operands: cp*HH + 128 < cp + hw, i.e. the narrow-color
+    # cp == 32 case (the wide layouts keep the flat [cp, hw] contraction)
+    joint = hw == 1024 and cp == 32
+    hist_shape = (cp * (hw // 128), 128) if joint else (cp, hw)
     tile_spec = lambda t: pl.BlockSpec((T, 512), lambda j, tb, t=t: (tb[j] + t, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -352,13 +398,13 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
         out_specs=(
             pl.BlockSpec((PC,), lambda j, tb: (j,)),
             pl.BlockSpec((8, CGP), lambda j, tb: (0, 0)),
-            pl.BlockSpec((cp, hw), lambda j, tb: (0, 0)),
+            pl.BlockSpec(hist_shape, lambda j, tb: (0, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((8, CGP), jnp.int32),
         ],
     )
-    return pl.pallas_call(
+    uniq, counts, hist = pl.pallas_call(
         partial(
             _stream_kernel,
             num_hash=num_hash,
@@ -369,16 +415,18 @@ def _stream_call(blocks_bp, blk_s, off_s, qc_s, tb, *, num_hash, wpad,
             planes=_n_planes(wpad, n_colors),
             n_chunks=n_chunks,
             nt=nt,
+            joint=joint,
         ),
         grid_spec=grid_spec,
         out_shape=(
             # per-probe uniq color; -1 = valid non-unique, -2 = invalid
             jax.ShapeDtypeStruct((P,), jnp.int32),
             jax.ShapeDtypeStruct((8, CGP), jnp.int32),  # counts in row 0
-            jax.ShapeDtypeStruct((cp, hw), jnp.int32),  # histogram
+            jax.ShapeDtypeStruct(hist_shape, jnp.int32),  # histogram
         ),
         interpret=_interpret(),
     )(tb, blk_s, off_s, qc_s, *([blocks_bp] * nt))
+    return uniq, counts, hist.reshape(cp, hw)
 
 
 @partial(
@@ -564,9 +612,21 @@ def stream_accumulate_hash(
     qc32 = qcounts.astype(jnp.int32)
     gidx = base0 + jnp.arange(P, dtype=jnp.int32)
 
-    blk_s, off_s, qc_s, gidx_s = jax.lax.sort(
-        (blk, offp, qc32, gidx), num_keys=1
-    )
+    if _qc_in_key_ok(bloom_size, rpb):
+        # sort diet: carry min(freq, FREQ_CAP) in the key's low bits (one
+        # payload array fewer). Exactness below FREQ_CAP is all the kernel
+        # histogram needs; clipped frequencies route to the overflow list,
+        # whose gidx payload resolves the exact value on the host — the
+        # same contract the unpacked sort had.
+        qcl = jnp.minimum(qc32, FREQ_CAP).astype(jnp.uint32)
+        key = (blk.astype(jnp.uint32) << QKEY_BITS) | qcl
+        key_s, off_s, gidx_s = jax.lax.sort((key, offp, gidx), num_keys=1)
+        blk_s = (key_s >> QKEY_BITS).astype(jnp.int32)
+        qc_s = (key_s & QKEY_MASK).astype(jnp.int32)
+    else:
+        blk_s, off_s, qc_s, gidx_s = jax.lax.sort(
+            (blk, offp, qc32, gidx), num_keys=1
+        )
     return _stream_core(
         stats, hist, over_col, over_freq, blocks2, blocks_bp,
         blk_s, off_s, qc_s, gidx_s,
@@ -578,7 +638,7 @@ def stream_accumulate_hash(
     jax.jit,
     donate_argnums=(0, 1, 2, 3),
     static_argnames=("wpad", "k", "num_hash", "bloom_size", "rpb",
-                     "n_colors", "bv"),
+                     "n_colors", "bv", "qc_in_key"),
 )
 def stream_accumulate_hash_exact(
     stats: jnp.ndarray,
@@ -597,15 +657,29 @@ def stream_accumulate_hash_exact(
     rpb: int,
     n_colors: int,
     bv: int = 2,
+    qc_in_key: bool = False,
 ):
     """stream_accumulate_hash in exact mode: the overflow payload is the
     frequency itself, so the sort carries 3 arrays instead of 4 (no global
     k-mer index) and the caller needs no host-side frequency resolution.
-    Frequencies must be the real int32 counts (not clipped)."""
+    Frequencies must be the real int32 counts (not clipped).
+
+    qc_in_key=True shrinks the sort to 2 arrays by packing the frequency
+    into the key's low QKEY_BITS. The CALLER must guarantee every
+    frequency < 2^QKEY_BITS (and the block-index guard _qc_in_key_ok);
+    larger values would be silently clipped — including in the overflow
+    payload — so gate on the batch maximum."""
     blk, offs = _device_blkoff(packed[:, 0], packed[:, 1], k, num_hash,
                                bloom_size, rpb, bv)
     offp = pack_offsets(offs)
-    blk_s, off_s, qc_s = jax.lax.sort((blk, offp, qcounts), num_keys=1)
+    if qc_in_key and _qc_in_key_ok(bloom_size, rpb):
+        key = (blk.astype(jnp.uint32) << QKEY_BITS) | jnp.clip(
+            qcounts, 0, QKEY_MASK).astype(jnp.uint32)
+        key_s, off_s = jax.lax.sort((key, offp), num_keys=1)
+        blk_s = (key_s >> QKEY_BITS).astype(jnp.int32)
+        qc_s = (key_s & QKEY_MASK).astype(jnp.int32)
+    else:
+        blk_s, off_s, qc_s = jax.lax.sort((blk, offp, qcounts), num_keys=1)
     return _stream_core(
         stats, hist, over_col, over_freq, blocks2, blocks_bp,
         blk_s, off_s, qc_s, qc_s,
@@ -627,43 +701,49 @@ def stream_accumulate_hash_exact(
 # Both sorts are the dominant cost; the kernel itself runs PC_CL probes per
 # grid step (4x the blocked kernel) because its per-probe work is tiny.
 
-PC_CL = 8192  # classic-kernel probes per grid step
-NCH_CL = 64  # residual chunk capacity (chunk-granular re-run)
+# classic-kernel probes per grid step: 8192 with the rows-first one-hot
+# overflows the 16M scoped-vmem budget by ~0.4M regardless of how the
+# row one-hot is staged (measured twice 2026-08-21); per-chunk cost
+# scales with pc and fixed overhead is noise, so 4096 loses nothing
+PC_CL = 4096
+# residual chunk capacity (chunk-granular re-run): follows the PC_CL
+# halving so the probe coverage (NCH_CL * PC_CL) is unchanged
+NCH_CL = 128
 EPC_CL = 65536  # epilogue scan segment; callers pad k-mer counts to this
 
 
 def _classic_word_kernel(tb_ref, blk_ref, off_ref, *refs, planes, nt, pc):
     """Per sorted probe: word = matrix[row] as int32, where row = blk*128 +
     off and blk lies in the chunk's nt-tile window. The gather contracts
-    LANES first — S[p, l] = (off[p] == l) against each 128-row tile's byte
-    plane gives A[p, r] = byte(row r, lane off[p]) on the int8 MXU — then a
-    single lane-gather over the tile-row axis selects r = blk[p]. Out-of-
-    window probes produce a garbage constant; the caller patches them via
-    the residual pass."""
+    WINDOW ROWS first — one row one-hot S[p, r] = (blk[p]-base == r) over
+    the whole nt*T window, contracted against each tile's byte plane on the
+    int8 MXU, gives A_p[p, l] = byte p of the probe's row at lane l — then
+    a lane-gather at off[p] selects the word's bytes. Contracting rows
+    first needs no per-tile plane-combine or in/out-of-window select chain
+    (an out-of-window probe's one-hot row is all-zero, so its word is the
+    same garbage constant the caller's residual pass already patches),
+    which cut the kernel from ~198ms to the dot/gather floor at bench
+    density (measured 2026-08-21)."""
     tiles = refs[:nt]
     (out_ref,) = refs[nt:]
     j = pl.program_id(0)
     base = tb_ref[j] * T
-    l2 = blk_ref[:] - base  # [pc] tile-window block index
-    li = jax.lax.broadcasted_iota(jnp.int32, (pc, 128), 1)
-    S = (off_ref[:][:, None] == li).astype(jnp.int8)  # lane one-hot
+    l2 = (blk_ref[:] - base)[:, None]  # [pc, 1] window block index
+    # per-tile row one-hots against a [pc, T] iota (an [pc, nt*T] i32 iota
+    # alone is 8MB at pc=8192 and tips the 16M scoped-vmem budget)
+    iota_T = jax.lax.broadcasted_iota(jnp.int32, (pc, T), 1)
+    Ss = [((l2 - t * T) == iota_T).astype(jnp.int8) for t in range(nt)]
+    idx = jnp.broadcast_to(off_ref[:][:, None], (pc, 128))
     word = jnp.zeros((pc,), dtype=jnp.int32)
-    for t in range(nt):
-        comb = None
-        for p in range(planes):
-            A = jax.lax.dot_general(
-                S, tiles[t][:, 128 * p:128 * (p + 1)],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # [pc, T]: byte p (offset -128) of word at (row, off[probe])
-            comb = A if comb is None else comb + A * (1 << (8 * p))
-        lt = l2 - t * T
-        sel = (lt >= 0) & (lt < T)
-        idx = jnp.broadcast_to(
-            jnp.clip(lt, 0, T - 1)[:, None], (pc, 128)
-        )
-        g = _lg(comb, idx)[:, 0]
-        word = word + jnp.where(sel, g, 0)
+    for p in range(planes):
+        A = jax.lax.dot_general(
+            Ss[0], tiles[0][:, 128 * p:128 * (p + 1)],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        for t in range(1, nt):
+            A = A + jax.lax.dot_general(
+                Ss[t], tiles[t][:, 128 * p:128 * (p + 1)],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        word = word + _lg(A, idx)[:, 0] * (1 << (8 * p))
     out_ref[:] = word + _deoffset(planes)
 
 

@@ -71,6 +71,43 @@ def test_stream_sparse_residual(monkeypatch):
     _compare(index, keys, qcounts, monkeypatch)
 
 
+def test_stream_dev_exact_qc_in_key(monkeypatch):
+    """search_keys_dev with a max_freq bound (sort key carries the clipped
+    frequency, dropping one payload array) must match both the unpacked
+    dev dispatch and the host path bit-for-bit — including overflow
+    frequencies in (FREQ_CAP, 2^QKEY_BITS)."""
+    import jax
+
+    from colorid_tpu.engine import pack_keys_host
+    from colorid_tpu.ops.stream_query import PC
+
+    rng = np.random.default_rng(23)
+    index = _rand_index(rng, 21, 100_000)
+    monkeypatch.setenv("COLORID_STREAM", "force")
+    eng = QueryEngine(index)
+    assert eng._stream
+    n = 20000
+    keys = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=(n, 31))
+    qcounts = rng.integers(1, 2000, n).astype(np.int32)
+    packed = pack_keys_host(keys)
+    P = ((n + PC - 1) // PC) * PC
+    pk = np.zeros((P, 2), np.uint32)
+    pk[:n] = packed
+    qc = np.zeros(P, np.int32)
+    qc[:n] = np.maximum(qcounts, 1)
+    pk_dev = jax.device_put(pk)
+    qc_dev = jax.device_put(qc)
+    a = eng.search_keys_dev(pk_dev, qc_dev, k=31)
+    b = eng.search_keys_dev(pk_dev, qc_dev, k=31, max_freq=int(qc.max()))
+    assert a is not None and b is not None
+    np.testing.assert_array_equal(b.counts, a.counts)
+    np.testing.assert_array_equal(b.and_all, a.and_all)
+    assert b.freq_stats() == a.freq_stats()
+    host = eng.search_keys(keys, qcounts=qcounts)
+    np.testing.assert_array_equal(b.counts, host.counts)
+    assert b.freq_stats() == host.freq_stats()
+
+
 def test_stream_auto_gate(monkeypatch):
     rng = np.random.default_rng(17)
     index = _rand_index(rng, 10, 50_000)
