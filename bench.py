@@ -421,9 +421,10 @@ def phase_stream(engine, keys, qcounts, packed) -> np.ndarray | None:
     # accumulators, amortizing the tunnel round-trip the way a streaming
     # pipeline overlaps fetches with the next batch (the reference's span
     # is likewise a continuous loop over the whole query stream). DISP
-    # sweep on-chip (r5): 4/8/12 -> 79.4/81.6/83.1 M; 8 balances the
-    # longer steady window against per-trial budget.
-    DISP = int(os.environ.get("BENCH_STREAM_DISPATCHES", 8))
+    # sweep on-chip with the packed-key sort (2026-08-21): 8/12/16 ->
+    # 85.4/86.3/86.0 M; 12 balances the longer steady window against
+    # per-trial budget (3 trials x ~1.4s).
+    DISP = int(os.environ.get("BENCH_STREAM_DISPATCHES", 12))
 
     # the host counted the query k-mers, so the batch's max frequency is
     # known for free; below 2^11 it lets the engine drop the sort's
