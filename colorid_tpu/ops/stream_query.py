@@ -709,7 +709,11 @@ PC_CL = 4096
 # residual chunk capacity (chunk-granular re-run): follows the PC_CL
 # halving so the probe coverage (NCH_CL * PC_CL) is unchanged
 NCH_CL = 128
-EPC_CL = 65536  # epilogue scan segment; callers pad k-mer counts to this
+# epilogue scan segment; callers pad k-mer counts to this. 262144 quarters
+# the scan's iteration count (the joint-histogram one-hots in
+# _accumulate_tail made bigger segments cheap); queries small enough to
+# mind the padding never pass _use_stream_classic's density gate anyway
+EPC_CL = 262144
 
 
 def _classic_word_kernel(tb_ref, blk_ref, off_ref, *refs, planes, nt, pc):
