@@ -923,18 +923,92 @@ class QueryEngine:
         return self._fused_finish(stats, hist, oc_buf, of_buf, n_drop, n_u,
                                   capO)
 
+    def search_reads_fused_async(
+        self, reads_dev, lens_dev, valid_bits=None, *,
+        k: int, L: int, filter_t: int = 0, d: int = 1,
+    ):
+        """Dispatch half of the one-call fused reads search: returns (vec,
+        oc_buf, of_buf, capO) with vec = concat([stats, n_drop, n_unique,
+        hist.ravel()]) still on device, so callers can pipeline several
+        dispatches and fetch them in one stacked D2H (same steady-state
+        contract as search_keys_dev_async); decode with
+        search_reads_fused_finish. Raises ValueError when the fused
+        single-dispatch path is not eligible (non-value-addressed layout,
+        device-hash envelope, or a window count past the wedge guard) —
+        callers fall back to the synchronous search_reads."""
+        from .ops.fused_reads import fused_search_reads
+        from .ops.stream_query import OVER_CAP, RES_CAP
+
+        if not (4 <= k <= 32 and self.index.bloom_size < 2**31):
+            raise ValueError("fused async requires the device-hash envelope")
+        if self._custom_place or not (self._stream and self.bv in (3, 4)):
+            raise ValueError(
+                "fused async requires a stream-eligible value-addressed "
+                "(v3/v4) blocked index"
+            )
+        n_windows = reads_dev.shape[0] * (L - k + 1)
+        max_w = int(os.environ.get("COLORID_FUSED_MAX_WINDOWS", 28_000_000))
+        if n_windows > max_w:
+            raise ValueError(
+                f"{n_windows} windows exceeds the single-dispatch guard "
+                f"({max_w}); use search_reads (chunked pipeline)"
+            )
+        C = self.index.n_colors
+        stats = jnp.concatenate(
+            [
+                jnp.zeros(C, dtype=jnp.int32),
+                jnp.full(self.wpad, -1, dtype=jnp.int32),
+                jnp.array([1, 0], dtype=jnp.int32),
+            ]
+        )
+        hist = jnp.zeros((C, FREQ_CAP), dtype=jnp.int32)
+        capO = OVER_CAP + RES_CAP
+        oc_buf = jnp.zeros(capO, dtype=jnp.int32)
+        of_buf = jnp.zeros(capO, dtype=jnp.int32)
+        lens_j = (
+            lens_dev if isinstance(lens_dev, jax.Array)
+            else jnp.asarray(np.asarray(lens_dev, dtype=np.int32))
+        )
+        stats, hist, oc_buf, of_buf, n_drop, n_u = fused_search_reads(
+            stats, hist, oc_buf, of_buf,
+            self.blocks2, self._blocks_bp,
+            jnp.asarray(reads_dev),
+            lens_j,
+            None if valid_bits is None else jnp.asarray(valid_bits),
+            k=k, L=L, filter_t=filter_t, d=d,
+            wpad=self.wpad, num_hash=self.index.num_hash,
+            bloom_size=self.index.bloom_size, rpb=self.rpb, n_colors=C,
+            bv=self.bv,
+        )
+        vec = jnp.concatenate(
+            [stats, n_drop[None], n_u[None], hist.reshape(-1)]
+        )
+        return vec, oc_buf, of_buf, capO
+
+    def search_reads_fused_finish(
+        self, host, oc_buf, of_buf, capO
+    ) -> tuple[SearchResult, int] | None:
+        """Decode a fetched search_reads_fused_async vector (numpy) into
+        (SearchResult, n_unique); None when the drop guard tripped."""
+        return self._fused_decode(np.asarray(host), oc_buf, of_buf, capO)
+
     def _fused_finish(
         self, stats, hist, oc_buf, of_buf, n_drop, n_u, capO
     ) -> tuple[SearchResult, int] | None:
         # ONE D2H round trip for everything but the (rare) overflow list:
         # the tunnel RTT is 100-500ms, so per-array fetches would dominate
-        C = self.index.n_colors
-        W = self.index.words_per_row
         host = np.asarray(
             jnp.concatenate(
                 [stats, n_drop[None], n_u[None], hist.reshape(-1)]
             )
         )
+        return self._fused_decode(host, oc_buf, of_buf, capO)
+
+    def _fused_decode(
+        self, host, oc_buf, of_buf, capO
+    ) -> tuple[SearchResult, int] | None:
+        C = self.index.n_colors
+        W = self.index.words_per_row
         sl = C + self.wpad + 2
         st, hist_np = host[:sl], host[sl + 2 :].reshape(C, FREQ_CAP)
         if int(host[sl]) > 0:  # n_drop: capacity exceeded, caller falls back

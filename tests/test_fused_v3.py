@@ -141,6 +141,25 @@ def test_fused_matches_generic(v3_engine):
     assert res_f.freq_stats() == res_g.freq_stats()
 
 
+def test_fused_async_matches_sync(v3_engine):
+    """search_reads_fused_async + search_reads_fused_finish (the bench's
+    steady-state fused span) must reproduce the synchronous search_reads
+    exactly, including n_unique and freq stats."""
+    packed, lens = _genome_reads(seed=9)
+    vec, oc, of, capO = v3_engine.search_reads_fused_async(
+        packed, lens, k=27, L=120, filter_t=1
+    )
+    out = v3_engine.search_reads_fused_finish(np.asarray(vec), oc, of, capO)
+    assert out is not None
+    res_a, n_a = out
+    res_s, n_s = v3_engine.search_reads(packed, lens, k=27, L=120, filter_t=1)
+    assert n_a == n_s
+    assert (res_a.counts == res_s.counts).all()
+    assert res_a.all_valid == res_s.all_valid
+    assert (res_a.and_all == res_s.and_all).all()
+    assert res_a.freq_stats() == res_s.freq_stats()
+
+
 @pytest.mark.parametrize("ft,R", [(3, 4000), (7, 12000)])
 def test_fused_multi_round_compaction(v3_engine, ft, R):
     """filter_t=3 drives TWO pairwise-compaction rounds (4x slot reduction)
